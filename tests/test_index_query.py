@@ -1,0 +1,110 @@
+"""End-to-end index build + query: rank-identity vs the exact oracle.
+
+SURVEY §5 rebuild test plan: build at sf-small → run the query set →
+compare against the brute-force Python scorer; plus resume-from-
+checkpoint behavior.
+"""
+
+import json
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from word_sketch_lucene_spark.query.bm25 import BM25Oracle
+from word_sketch_lucene_spark.query.engine import IndexSearcher, bm25_topk_df
+
+# mix of head terms, multi-term, rare+head (WAND pruning), zero-hit
+QUERIES = [
+    ["the"],
+    ["spark"],
+    ["join", "filter"],
+    ["merge", "sort", "window"],
+    ["customer", "the"],
+    ["nonexistentterm123"],
+    ["vector", "nonexistentterm123"],
+]
+
+
+@pytest.fixture(scope="module")
+def oracle(docs_small_pd):
+    return BM25Oracle.from_texts(
+        dict(zip(docs_small_pd["doc_id"], docs_small_pd["text"])))
+
+
+def test_corpus_stats_match_oracle(index_small, oracle):
+    stats = json.loads((index_small / "stats.json").read_text())
+    assert stats["n_docs"] == oracle.n_docs
+    assert math.isclose(stats["avgdl"], oracle.avgdl, rel_tol=1e-12)
+
+
+def test_term_stats_match_oracle(spark, index_small, oracle):
+    ts = spark.read.parquet(str(index_small / "term_stats")).collect()
+    assert len(ts) == len(oracle.postings)
+    for r in ts:
+        assert r["df"] == oracle.df(r["term"]), r["term"]
+        assert r["cf"] == oracle.cf(r["term"]), r["term"]
+
+
+@pytest.mark.parametrize("terms", QUERIES, ids=["-".join(q) for q in QUERIES])
+def test_searcher_rank_identical_to_oracle(spark, index_small, oracle, terms):
+    searcher = IndexSearcher(spark, index_small)
+    expected = oracle.topk(terms, k=10)
+    for mode in ("bmw", "wand", "daat"):
+        got, _ = searcher.search(terms, k=10, mode=mode)
+        assert [d for d, _ in got] == [d for d, _ in expected], mode
+        for (d1, s1), (d2, s2) in zip(got, expected):
+            assert s1 == pytest.approx(s2, abs=1e-12), (mode, d1)
+
+
+def test_bmw_prunes_blocks(spark, index_small):
+    """Block-max WAND must decode strictly fewer blocks than exhaustive DAAT
+    on a rare+head query, with identical results."""
+    searcher = IndexSearcher(spark, index_small)
+    q = ["customer", "the"]
+    r_bmw, st_bmw = searcher.search(q, k=5, mode="bmw")
+    r_daat, st_daat = searcher.search(q, k=5, mode="daat")
+    assert r_bmw == r_daat
+    assert st_bmw["decoded_blocks"] <= st_daat["decoded_blocks"]
+
+
+def test_dataframe_path_rank_identical(spark, docs_small, oracle):
+    terms = ["join", "filter"]
+    got = bm25_topk_df(docs_small, terms, k=10).collect()
+    expected = oracle.topk(terms, k=10)
+    assert [r["doc_id"] for r in got] == [d for d, _ in expected]
+    for r, (d, s) in zip(got, expected):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_positions_stored_correctly(spark, index_small, oracle):
+    """Decode one term's position lists from segments and compare."""
+    import numpy as np
+
+    from word_sketch_lucene_spark.functions.codec import decode_positions, vbyte_decode
+
+    term = "spark"
+    rows = (spark.read.parquet(str(index_small / "segments"))
+            .filter(F.col("term") == term).collect())
+    seen = {}
+    for r in rows:
+        gaps = vbyte_decode(bytes(r["docs_vb"])).astype("int64")
+        docs = gaps.cumsum() + r["first_doc"]
+        pls = decode_positions(bytes(r["pos_vb"]), r["n"])
+        for d, pl in zip(docs, pls):
+            seen[int(d)] = list(pl)
+    assert seen == {d: pl for d, pl in oracle.positions[term].items()}
+
+
+def test_build_is_resumable(spark, docs_small, tmp_path):
+    """Second build run with same inputs+config must skip all stages."""
+    from word_sketch_lucene_spark.index.build import build_index
+
+    root = tmp_path / "idx"
+    build_index(spark, docs_small, root, doc_salt=2, n_partitions=4)
+    m1 = json.loads((root / "segments" / "_manifest.json").read_text())
+    build_index(spark, docs_small, root, doc_salt=2, n_partitions=4)
+    m2 = json.loads((root / "segments" / "_manifest.json").read_text())
+    assert m1["committed_at"] == m2["committed_at"]  # stage skipped, not rerun
+    # manifests carry per-partition lineage metrics
+    assert m1["partitions"] and {"seg_part", "n_postings", "term_min"} <= set(m1["partitions"][0])
