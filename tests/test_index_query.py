@@ -50,7 +50,7 @@ def test_term_stats_match_oracle(spark, index_small, oracle):
 def test_searcher_rank_identical_to_oracle(spark, index_small, oracle, terms):
     searcher = IndexSearcher(spark, index_small)
     expected = oracle.topk(terms, k=10)
-    for mode in ("bmw", "wand", "daat"):
+    for mode in ("bmw", "wand", "daat", "vec", "auto"):
         got, _ = searcher.search(terms, k=10, mode=mode)
         assert [d for d, _ in got] == [d for d, _ in expected], mode
         for (d1, s1), (d2, s2) in zip(got, expected):

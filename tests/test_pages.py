@@ -1,0 +1,65 @@
+"""Synthetic pages generator invariants (FIXTURES.md §A)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from word_sketch_lucene_spark.sources.pages import (
+    boilerplate_filter,
+    extract_text_py,
+    extract_text_udf,
+    generate_pages,
+)
+
+
+def test_schema_matches_input_hint(spark):
+    pages = generate_pages(spark, 10)
+    types = dict(pages.dtypes)
+    assert types["url"] == "string"
+    assert types["warc_ts"] == "timestamp"
+    assert types["html"] == "binary"
+    assert types["text"] == "string"
+    assert types["lang"] == "string"
+
+
+def test_deterministic_across_parallelism(spark):
+    """Same bytes regardless of partitioning — N vs 4N comparability."""
+    a = generate_pages(spark, 200, seed=7, n_partitions=2).orderBy("doc_id").toPandas()
+    b = generate_pages(spark, 200, seed=7, n_partitions=16).orderBy("doc_id").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_text_byte_identical_to_extraction(spark):
+    """The north-rule invariant: text == extract_text(html), byte-exact."""
+    pages = generate_pages(spark, 100, seed=3)
+    mismatches = (
+        pages.withColumn("re_text", extract_text_udf("html"))
+        .filter(F.col("re_text") != F.col("text"))
+        .count()
+    )
+    assert mismatches == 0
+
+
+def test_extractor_drops_boilerplate():
+    html = (b"<html><body><p>Journal Information: x</p><p>^real content here</p>"
+            b"<p>DOI: 10.1/1</p><p>____ divider</p><p>more text</p></body></html>")
+    assert extract_text_py(html) == "real content here\nmore text"
+
+
+def test_boilerplate_filter_rows(spark):
+    df = spark.createDataFrame(
+        [("Copyright 2020",), ("keep me",), ("DOI: 1",)], ["text"])
+    kept = [r["text"] for r in boilerplate_filter(df).collect()]
+    assert kept == ["keep me"]
+
+
+def test_zipf_skew_present(spark):
+    """Head term must dominate the tail — skew is a build requirement."""
+    from word_sketch_lucene_spark.functions.tokenize import explode_tokens
+
+    pages = generate_pages(spark, 300, seed=11)
+    counts = (
+        explode_tokens(pages).groupBy("term").count()
+        .orderBy(F.desc("count")).limit(1).collect()
+    )
+    total = explode_tokens(pages).count()
+    assert counts[0]["count"] > total / 50  # t0 carries >2% of all tokens

@@ -44,6 +44,16 @@ def vbyte_encode(values: np.ndarray) -> bytes:
     return out[keep].tobytes()
 
 
+_VBYTE_BINS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
+
+
+def vbyte_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte count (vectorized) — for slicing a single
+    concatenated VByte stream into per-group spans without re-encoding."""
+    v = np.asarray(values, dtype=np.uint64)
+    return (np.digitize(v, _VBYTE_BINS) + 1).astype(np.int64)
+
+
 def vbyte_decode(buf: bytes) -> np.ndarray:
     """Decode a VByte stream back to uint64 values (vectorized)."""
     b = np.frombuffer(buf, dtype=np.uint8)

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,6 +64,7 @@ class IndexPaths:
 
     def __init__(self, root: str | Path):
         self.root = Path(root)
+        self.tokens = self.root / "tokens"
         self.doc_lens = self.root / "doc_lens"
         self.term_stats = self.root / "term_stats"
         self.segments = self.root / "segments"
@@ -98,37 +100,65 @@ def build_index(
     cfg_fp = config_fingerprint(config)
     inputs_fp = input_fingerprint(input_paths) if input_paths else "unspecified"
 
-    tokens = explode_tokens(pages, doc_id_col, text_col, use_pandas_udf=use_pandas_udf)
+    # ---- stage: tokens (materialized once, read by every later pass) --
+    # A compressed parquet stage instead of an in-heap persist: columnar,
+    # spill-free, identical layout at any executor count, and the natural
+    # resume point after a crash mid-build. Downstream aggregates read
+    # only the columns they need (column pruning on the token table).
+    st_tok = StageManifest(paths.tokens, "tokens")
+    if not st_tok.is_complete(inputs_fp, cfg_fp):
+        (
+            explode_tokens(pages, doc_id_col, text_col,
+                           use_pandas_udf=use_pandas_udf)
+            .write.mode("overwrite").parquet(str(paths.tokens))
+        )
+        st_tok.commit(inputs_fp, cfg_fp,
+                      lineage={"inputs": input_paths or [], "config": config})
+    tokens = spark.read.parquet(str(paths.tokens))
 
-    # ---- stage: doc_lens + corpus stats -------------------------------
-    st_stats = StageManifest(paths.doc_lens, "doc_lens")
-    if not st_stats.is_complete(inputs_fp, cfg_fp):
+    # ---- stages: doc_lens + corpus stats ∥ term_stats -----------------
+    # Two independent aggregates over the tokens stage — submitted as
+    # CONCURRENT Spark jobs (the scheduler interleaves their stages), the
+    # engine-level analog of the reference's relation fan-out thread pool
+    # (SketchHandlers.java:48-49).
+    def _stage_doc_lens() -> None:
+        st_stats = StageManifest(paths.doc_lens, "doc_lens")
+        if st_stats.is_complete(inputs_fp, cfg_fp):
+            return
         doc_lengths(tokens).write.mode("overwrite").parquet(str(paths.doc_lens))
         dl = spark.read.parquet(str(paths.doc_lens))
-        stats = corpus_stats(dl)
-        stats.update({"k1": k1, "b": b, "block_size": block_size, "doc_salt": doc_salt})
+        s = corpus_stats(dl)
+        s.update({"k1": k1, "b": b, "block_size": block_size, "doc_salt": doc_salt})
         tmp = paths.stats.with_suffix(".tmp")
-        tmp.write_text(json.dumps(stats, indent=1, sort_keys=True))
+        tmp.write_text(json.dumps(s, indent=1, sort_keys=True))
         os.replace(tmp, paths.stats)
-        st_stats.commit(inputs_fp, cfg_fp, metrics=stats,
+        st_stats.commit(inputs_fp, cfg_fp, metrics=s,
                         lineage={"inputs": input_paths or [], "config": config})
-    stats = json.loads(paths.stats.read_text())
 
-    # ---- stage: term_stats -------------------------------------------
-    st_ts = StageManifest(paths.term_stats, "term_stats")
-    if not st_ts.is_complete(inputs_fp, cfg_fp):
+    def _stage_term_stats() -> None:
+        st_ts = StageManifest(paths.term_stats, "term_stats")
+        if st_ts.is_complete(inputs_fp, cfg_fp):
+            return
         term_stats(tokens).write.mode("overwrite").parquet(str(paths.term_stats))
-        n_terms = spark.read.parquet(str(paths.term_stats)).count()
-        st_ts.commit(inputs_fp, cfg_fp, metrics={"n_terms": n_terms},
-                     lineage={"inputs": input_paths or []})
+        st_ts.commit(inputs_fp, cfg_fp, lineage={"inputs": input_paths or []})
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_stage_doc_lens), pool.submit(_stage_term_stats)]
+        for f in futs:
+            f.result()
+    stats = json.loads(paths.stats.read_text())
 
     # ---- stage: segments ---------------------------------------------
     st_seg = StageManifest(paths.segments, "segments")
     if not st_seg.is_complete(inputs_fp, cfg_fp):
         ts = spark.read.parquet(str(paths.term_stats)).select("term", "df")
         dl = spark.read.parquet(str(paths.doc_lens))
-        postings = (
-            build_postings(tokens)
+        # ONE shuffle of flat int columns: raw tokens (+dl, +df) hash-keyed
+        # by (term, doc-salt), sorted (term, doc_id, pos); the kernel does
+        # the (term, doc)→(tf, positions) aggregation itself. No JVM array
+        # building, half the shuffle volume of a groupBy(collect_list).
+        feed = (
+            tokens
             .join(dl, "doc_id")          # per-posting dl (exact query-time BM25)
             .join(ts, "term")            # per-term df (block max_score bounds)
             .withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(doc_salt)))
@@ -136,9 +166,9 @@ def build_index(
         writer = make_segment_writer(
             stats["n_docs"], stats["avgdl"], block_size=block_size, k1=k1, b=b)
         (
-            postings.repartition(nparts, F.col("term"), F.col("salt"))
-            .sortWithinPartitions("term", "doc_id")
-            .select("term", "doc_id", "tf", "dl", "df", "positions")
+            feed.repartition(nparts, F.col("term"), F.col("salt"))
+            .sortWithinPartitions("term", "doc_id", "pos")
+            .select("term", "doc_id", "pos", "dl", "df")
             .mapInPandas(writer, schema=SEGMENT_SCHEMA)
             .write.mode("overwrite")
             .parquet(str(paths.segments))

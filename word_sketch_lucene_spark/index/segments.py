@@ -1,30 +1,40 @@
-"""Segment writer: sorted postings → compressed, block-max-annotated blocks.
+"""Segment writer: sorted token rows → compressed, block-max posting blocks.
 
 Reference parity: Lucene's positional inverted index with skip data and
 per-block impacts is what BlackLab queries walk (``README.md:700-752``,
 SpanQuery O(log N) seek + O(k) decode). This module reproduces that
-layout as parquet rows, one row per 128-posting block:
+layout as parquet rows, one row per ≤128-posting block:
 
 ``(term, seg_part, block_id, n, first_doc, last_doc, max_tf, sum_tf,
 max_score, docs_vb, tfs_vb, dls_vb, pos_vb)``
 
-- ``docs_vb``: VByte(doc-id gaps within the block, first gap from
-  ``first_doc``) — the skip-pointer analog is (first_doc, last_doc) on
-  every block row plus parquet row-group min/max pruning on ``term``.
+- ``docs_vb``: VByte(doc-id gaps; first gap relative to ``first_doc``)
+  — the skip-pointer analog is (first_doc, last_doc) on every block row
+  plus parquet row-group min/max pruning on ``term``.
 - ``max_score``: the *exact* max BM25 contribution of any posting in
   the block (float64, never rounded down) — block-max WAND's safe upper
   bound, generalizing the reference's logDice upper-bound prune
   (``CollocateQueryHelper.java:232-247``).
-- ``dls_vb``: per-posting document lengths, so query-time scoring is
+- ``dls_vb``: per-posting document lengths → query-time scoring is
   exact without a doc-store join.
-- ``pos_vb``: per-posting position lists (``[len, Δpos…]``), kept in a
-  separate column so pure-BM25 scans never read them (column pruning).
+- ``pos_vb``: per-posting position lists (``[len, Δpos…]``), a separate
+  column so pure-BM25 scans never read it (column pruning).
 
-The kernel runs as ``mapInPandas`` over partitions already
-hash-distributed by (term-bucket, doc-salt) and sorted by
-``(term, doc_id)`` — see ``build.py``. It streams Arrow batches with a
-carry buffer for the term spanning a batch boundary, so memory stays
-O(hot-term block) regardless of posting-list length.
+Shuffle design (the scale-critical decision): the kernel consumes RAW
+token rows ``(term, doc_id, pos, dl, df)`` — ONE shuffle, hash-keyed by
+``(term, pmod(hash(doc_id), salt))`` and sorted ``(term, doc_id, pos)``
+— and performs the (term, doc)→(tf, positions) aggregation itself as a
+numpy run-length pass. This replaces an earlier two-shuffle design
+(``groupBy(term, doc).agg(collect_list(pos))`` then a repartition of
+array-typed rows): shuffling flat int columns halves shuffle volume and
+avoids JVM array materialization entirely.
+
+Under a Zipf vocabulary almost every term fits one block (df ≤ 128), so
+the hot path is :func:`_emit_single_block_runs`: ONE VByte encode over
+the whole batch per stream, sliced into per-term spans via vectorized
+byte-length prefix sums — no per-term Python. Hot multi-block terms
+(few) take the per-term loop. A carry buffer holds the term spanning an
+Arrow-batch boundary, so memory stays O(batch).
 """
 
 from __future__ import annotations
@@ -35,7 +45,12 @@ import numpy as np
 import pandas as pd
 from pyspark import TaskContext
 
-from ..functions.codec import delta_encode, encode_positions, vbyte_encode
+from ..functions.codec import (
+    delta_encode,
+    encode_positions,
+    vbyte_encode,
+    vbyte_lengths,
+)
 from ..functions.scoring import B, K1
 
 BLOCK_SIZE = 128
@@ -51,125 +66,253 @@ SEGMENT_COLUMNS = [
     "max_tf", "sum_tf", "max_score", "docs_vb", "tfs_vb", "dls_vb", "pos_vb",
 ]
 
+TOKEN_INPUT_COLUMNS = ["term", "doc_id", "pos", "dl", "df"]
 
-def _bm25_scores(tfs: np.ndarray, dls: np.ndarray, df: float,
-                 n_docs: float, avgdl: float, k1: float, b: float) -> np.ndarray:
-    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-    return idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+
+def _bm25_scores(tfs: np.ndarray, dls: np.ndarray, idfs, avgdl: float,
+                 k1: float, b: float) -> np.ndarray:
+    return idfs * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+
+
+def _idf(dfs: np.ndarray, n_docs: float) -> np.ndarray:
+    return np.log(1.0 + (n_docs - dfs + 0.5) / (dfs + 0.5))
+
+
+def _aggregate_postings(terms: np.ndarray, docs: np.ndarray, poss: np.ndarray,
+                        dls: np.ndarray, dfs: np.ndarray):
+    """Token rows (sorted by term, doc, pos) → per-posting arrays.
+
+    Returns (p_terms, p_docs, p_tfs, p_dls, p_dfs, p_pos_starts) where
+    positions of posting i are ``poss[p_pos_starts[i] : p_pos_starts[i]
+    + p_tfs[i]]`` — positions stay one flat array end to end.
+    """
+    n = terms.size
+    if n == 0:
+        z = np.empty(0, np.int64)
+        return terms, z, z, z, np.empty(0, np.float64), z
+    change = np.flatnonzero(
+        (terms[1:] != terms[:-1]) | (docs[1:] != docs[:-1])) + 1
+    starts = np.concatenate([[0], change]).astype(np.int64)
+    ends = np.concatenate([change, [n]]).astype(np.int64)
+    return (terms[starts], docs[starts], (ends - starts),
+            dls[starts], dfs[starts], starts)
 
 
 def _emit_term_blocks(
-    term: str,
-    docs: np.ndarray,
-    tfs: np.ndarray,
-    dls: np.ndarray,
-    poslists: list,
-    df: float,
-    part_id: int,
-    n_docs: float,
-    avgdl: float,
-    block_size: int,
-    k1: float,
-    b: float,
+    term: str, docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+    pos_flat: np.ndarray, pos_starts: np.ndarray, df: float, part_id: int,
+    n_docs: float, avgdl: float, block_size: int, k1: float, b: float,
 ) -> list[tuple]:
-    """Cut one term's sorted postings into encoded blocks."""
+    """Per-term path (multi-block / carried terms)."""
+    idf = float(_idf(np.array([df]), n_docs)[0])
     scores = _bm25_scores(tfs.astype(np.float64), dls.astype(np.float64),
-                          df, n_docs, avgdl, k1, b)
+                          idf, avgdl, k1, b)
     rows = []
     n = docs.size
     for block_id, lo in enumerate(range(0, n, block_size)):
         hi = min(lo + block_size, n)
         d, t, dl = docs[lo:hi], tfs[lo:hi], dls[lo:hi]
         first_doc, last_doc = int(d[0]), int(d[-1])
+        poslists = [pos_flat[pos_starts[i]: pos_starts[i] + tfs[i]]
+                    for i in range(lo, hi)]
         rows.append((
             term, part_id, block_id, hi - lo, first_doc, last_doc,
             int(t.max()), int(t.sum()), float(scores[lo:hi].max()),
             vbyte_encode(delta_encode(d, first_delta_from=first_doc)),
             vbyte_encode(t.astype(np.uint64)),
             vbyte_encode(dl.astype(np.uint64)),
-            encode_positions(poslists[lo:hi]),
+            encode_positions(poslists),
         ))
     return rows
+
+
+def _sliced_stream(values: np.ndarray, group_starts: np.ndarray) -> list[bytes]:
+    """VByte-encode ``values`` ONCE; slice per group (vectorized spans)."""
+    buf = vbyte_encode(values)
+    lens = vbyte_lengths(values)
+    group_bytes = (np.add.reduceat(lens, group_starts)
+                   if values.size else np.array([], np.int64))
+    offs = np.concatenate([[0], np.cumsum(group_bytes)]).astype(np.int64)
+    return [buf[offs[i]:offs[i + 1]] for i in range(group_starts.size)]
+
+
+def _emit_single_block_runs(
+    p_terms: np.ndarray, p_docs: np.ndarray, p_tfs: np.ndarray,
+    p_dls: np.ndarray, p_dfs: np.ndarray, pos_sel: np.ndarray,
+    run_starts: np.ndarray, run_ends: np.ndarray, part_id: int,
+    n_docs: float, avgdl: float, k1: float, b: float,
+) -> pd.DataFrame:
+    """Vectorized encoder for term runs that fit one block (df ≤ 128).
+
+    Posting-level arrays are the *selected* postings (contiguous runs);
+    ``pos_sel`` is their concatenated flat position stream.
+    """
+    n_runs = run_starts.size
+    if n_runs == 0:
+        return pd.DataFrame(columns=SEGMENT_COLUMNS)
+    run_lens = run_ends - run_starts
+    scores = _bm25_scores(p_tfs.astype(np.float64), p_dls.astype(np.float64),
+                          _idf(p_dfs.astype(np.float64), n_docs), avgdl, k1, b)
+    max_tf = np.maximum.reduceat(p_tfs, run_starts)
+    sum_tf = np.add.reduceat(p_tfs, run_starts)
+    max_score = np.maximum.reduceat(scores, run_starts)
+    first_docs = p_docs[run_starts]
+    last_docs = p_docs[run_ends - 1]
+
+    gaps = p_docs - np.concatenate([[0], p_docs[:-1]])
+    gaps[run_starts] = 0
+    docs_vb = _sliced_stream(gaps.astype(np.uint64), run_starts)
+    tfs_vb = _sliced_stream(p_tfs.astype(np.uint64), run_starts)
+    dls_vb = _sliced_stream(p_dls.astype(np.uint64), run_starts)
+
+    # positions: interleave [tf, Δpos...] per posting, encode once
+    n_post = p_docs.size
+    total_pos = pos_sel.size
+    row_pos_starts = np.concatenate(
+        [[0], np.cumsum(p_tfs)[:-1]]).astype(np.int64)
+    pdelta = pos_sel - np.concatenate([[0], pos_sel[:-1]])
+    pdelta[row_pos_starts] = pos_sel[row_pos_starts]
+    val_starts = np.concatenate(
+        [[0], np.cumsum(1 + p_tfs)[:-1]]).astype(np.int64)
+    out_vals = np.zeros(n_post + total_pos, dtype=np.uint64)
+    out_vals[val_starts] = p_tfs.astype(np.uint64)
+    idx = (np.arange(total_pos)
+           + np.repeat(val_starts + 1 - row_pos_starts, p_tfs))
+    out_vals[idx] = pdelta.astype(np.uint64)
+    pos_vb = _sliced_stream(out_vals, val_starts[run_starts])
+
+    return pd.DataFrame({
+        "term": p_terms[run_starts],
+        "seg_part": np.full(n_runs, part_id, dtype=np.int32),
+        "block_id": np.zeros(n_runs, dtype=np.int32),
+        "n": run_lens.astype(np.int32),
+        "first_doc": first_docs.astype(np.int64),
+        "last_doc": last_docs.astype(np.int64),
+        "max_tf": max_tf.astype(np.int32),
+        "sum_tf": sum_tf.astype(np.int64),
+        "max_score": max_score,
+        "docs_vb": docs_vb,
+        "tfs_vb": tfs_vb,
+        "dls_vb": dls_vb,
+        "pos_vb": pos_vb,
+    })
 
 
 def make_segment_writer(n_docs: int, avgdl: float, block_size: int = BLOCK_SIZE,
                         k1: float = K1, b: float = B):
     """Build the ``mapInPandas`` kernel (closure over broadcast-safe scalars).
 
-    Expects input columns ``term, doc_id, tf, dl, df, positions`` sorted
-    by ``(term, doc_id)`` within the partition.
+    Expects RAW TOKEN input columns ``term, doc_id, pos, dl, df`` sorted
+    by ``(term, doc_id, pos)`` within the partition.
     """
 
     def write_segments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tc = TaskContext.get()
         part_id = tc.partitionId() if tc is not None else 0
-        # carry buffer: postings of the term that may continue in the next batch
+        # carry: raw token arrays of the term spanning a batch boundary
         carry_term: str | None = None
-        carry: list[tuple[np.ndarray, np.ndarray, np.ndarray, list, float]] = []
+        carry: list[tuple] = []  # (docs, poss, dls, df)
 
-        def flush(term, docs, tfs, dls, pos, df):
-            return _emit_term_blocks(term, docs, tfs, dls, pos, df, part_id,
-                                     float(n_docs), float(avgdl), block_size, k1, b)
+        def flush_carry() -> list[tuple]:
+            nonlocal carry_term, carry
+            if carry_term is None:
+                return []
+            docs = np.concatenate([c[0] for c in carry])
+            poss = np.concatenate([c[1] for c in carry])
+            dls = np.concatenate([c[2] for c in carry])
+            df = carry[0][3]
+            terms = np.full(docs.size, carry_term, dtype=object)
+            dfs = np.full(docs.size, df, dtype=np.float64)
+            p_terms, p_docs, p_tfs, p_dls, p_dfs, p_starts = \
+                _aggregate_postings(terms, docs, poss, dls, dfs)
+            rows = _emit_term_blocks(
+                carry_term, p_docs, p_tfs, p_dls, poss, p_starts, df,
+                part_id, float(n_docs), float(avgdl), block_size, k1, b)
+            carry_term, carry = None, []
+            return rows
 
         for pdf in batches:
             if pdf.empty:
                 continue
             terms = pdf["term"].to_numpy()
             docs = pdf["doc_id"].to_numpy(dtype=np.int64)
-            tfs = pdf["tf"].to_numpy(dtype=np.int64)
+            poss = pdf["pos"].to_numpy(dtype=np.int64)
             dls = pdf["dl"].to_numpy(dtype=np.int64)
             dfs = pdf["df"].to_numpy(dtype=np.float64)
-            pos = pdf["positions"].tolist()
 
-            # term-run boundaries (terms arrive sorted within the partition)
             change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
-            starts = np.concatenate([[0], change])
-            ends = np.concatenate([change, [terms.size]])
+            starts = np.concatenate([[0], change]).astype(np.int64)
+            ends = np.concatenate([change, [terms.size]]).astype(np.int64)
 
-            out: list[tuple] = []
-            for s, e in zip(starts, ends):
-                term = terms[s]
-                seg = (docs[s:e], tfs[s:e], dls[s:e], pos[s:e], dfs[s])
-                is_last_run = e == terms.size
-                if carry_term is not None and term == carry_term:
-                    carry.append(seg)
-                    if not is_last_run:
-                        out.extend(flush(
-                            carry_term,
-                            np.concatenate([c[0] for c in carry]),
-                            np.concatenate([c[1] for c in carry]),
-                            np.concatenate([c[2] for c in carry]),
-                            sum((list(c[3]) for c in carry), []),
-                            carry[0][4],
-                        ))
-                        carry_term, carry = None, []
-                    continue
-                if carry_term is not None:
-                    out.extend(flush(
-                        carry_term,
-                        np.concatenate([c[0] for c in carry]),
-                        np.concatenate([c[1] for c in carry]),
-                        np.concatenate([c[2] for c in carry]),
-                        sum((list(c[3]) for c in carry), []),
-                        carry[0][4],
-                    ))
-                    carry_term, carry = None, []
-                if is_last_run:
-                    carry_term, carry = term, [seg]
-                else:
-                    out.extend(flush(term, *seg[:4], seg[4]))
-            if out:
-                yield pd.DataFrame(out, columns=SEGMENT_COLUMNS)
+            loop_rows: list[tuple] = []
+            if carry_term is not None:
+                if terms[0] == carry_term:
+                    e0 = int(ends[0])
+                    carry.append((docs[:e0], poss[:e0], dls[:e0], dfs[0]))
+                    if starts.size == 1:
+                        continue  # whole batch is one run; keep carrying
+                    # consumed rows leave the batch before aggregation
+                    terms, docs, poss = terms[e0:], docs[e0:], poss[e0:]
+                    dls, dfs = dls[e0:], dfs[e0:]
+                    starts, ends = starts[1:] - e0, ends[1:] - e0
+                loop_rows += flush_carry()
+            # last term run carries to the next batch
+            s_last, e_last = int(starts[-1]), int(ends[-1])
+            carry_term = terms[s_last]
+            carry = [(docs[s_last:e_last], poss[s_last:e_last],
+                      dls[s_last:e_last], dfs[s_last])]
+            terms, docs, poss = terms[:s_last], docs[:s_last], poss[:s_last]
+            dls, dfs = dls[:s_last], dfs[:s_last]
+            starts, ends = starts[:-1], ends[:-1]
+            if starts.size == 0:
+                if loop_rows:
+                    yield pd.DataFrame(loop_rows, columns=SEGMENT_COLUMNS)
+                continue
 
-        if carry_term is not None:
-            out = flush(
-                carry_term,
-                np.concatenate([c[0] for c in carry]),
-                np.concatenate([c[1] for c in carry]),
-                np.concatenate([c[2] for c in carry]),
-                sum((list(c[3]) for c in carry), []),
-                carry[0][4],
-            )
-            yield pd.DataFrame(out, columns=SEGMENT_COLUMNS)
+            # aggregate remaining token rows → postings (vectorized)
+            p_terms, p_docs, p_tfs, p_dls, p_dfs, p_starts = \
+                _aggregate_postings(terms, docs, poss, dls, dfs)
+            # term-run boundaries over POSTINGS
+            p_change = np.flatnonzero(p_terms[1:] != p_terms[:-1]) + 1
+            p_run_starts = np.concatenate([[0], p_change]).astype(np.int64)
+            p_run_ends = np.concatenate(
+                [p_change, [p_terms.size]]).astype(np.int64)
+
+            run_lens = p_run_ends - p_run_starts
+            single = run_lens <= block_size
+            if single.any():
+                s_s, s_e = p_run_starts[single], p_run_ends[single]
+                sel = np.concatenate(
+                    [np.arange(a, e) for a, e in zip(s_s, s_e)])
+                # flat positions of the selected postings
+                tok_idx = (np.arange(int(p_tfs[sel].sum()))
+                           + np.repeat(
+                               p_starts[sel]
+                               - np.concatenate([[0], np.cumsum(p_tfs[sel])[:-1]]),
+                               p_tfs[sel]))
+                pos_sel = poss[tok_idx]
+                new_starts = np.concatenate(
+                    [[0], np.cumsum(s_e - s_s)[:-1]]).astype(np.int64)
+                new_ends = np.cumsum(s_e - s_s).astype(np.int64)
+                vec_df = _emit_single_block_runs(
+                    p_terms[sel], p_docs[sel], p_tfs[sel], p_dls[sel],
+                    p_dfs[sel], pos_sel, new_starts, new_ends,
+                    part_id, float(n_docs), float(avgdl), k1, b)
+            else:
+                vec_df = pd.DataFrame(columns=SEGMENT_COLUMNS)
+            for a, e in zip(p_run_starts[~single], p_run_ends[~single]):
+                loop_rows += _emit_term_blocks(
+                    p_terms[a], p_docs[a:e], p_tfs[a:e], p_dls[a:e],
+                    poss, p_starts[a:e], p_dfs[a], part_id,
+                    float(n_docs), float(avgdl), block_size, k1, b)
+            frames = [f for f in
+                      (vec_df, pd.DataFrame(loop_rows, columns=SEGMENT_COLUMNS))
+                      if len(f)]
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+        rows = flush_carry()
+        if rows:
+            yield pd.DataFrame(rows, columns=SEGMENT_COLUMNS)
 
     return write_segments

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from ..functions.scoring import B, K1, bm25_term_score_expr
 from ..functions.tokenize import doc_lengths, explode_tokens, tokenize_py
 from ..index.build import STATS_FILE
-from .wand import BlockCursor, block_max_wand, exact_daat, idf_py
+from .wand import BlockCursor, block_max_wand, exact_daat, idf_py, vectorized_topk
 
 
 def bm25_topk_df(
@@ -38,11 +38,14 @@ def bm25_topk_df(
     text_col: str = "text",
     k1: float = K1,
     b: float = B,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Declarative BM25 top-k: one plan, no index needed.
 
     OR semantics over query terms; tie-break (score desc, doc_id asc).
-    Returns ``(doc_id, score)``.
+    Returns ``(doc_id, score)``. ``round_dp`` rounds the score and uses
+    the rounded value as the ordering key — the cross-engine-stable
+    contract used for oracle comparison (engine FP noise collapses).
     """
     tokens = explode_tokens(pages, doc_id_col, text_col)
     dl = doc_lengths(tokens)
@@ -66,12 +69,10 @@ def bm25_topk_df(
         bm25_term_score_expr(F.col("tf").cast("double"), F.col("df").cast("double"),
                              F.col("dl").cast("double"), n_docs, avgdl, k1, b),
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("contrib").alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    agg = scored.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+    if round_dp is not None:
+        agg = agg.withColumn("score", F.round("score", round_dp))
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 class IndexSearcher:
@@ -92,6 +93,14 @@ class IndexSearcher:
         self.segments = spark.read.parquet(str(self.root / "segments"))
         self.term_stats = spark.read.parquet(str(self.root / "term_stats"))
         self._df_cache: dict[str, int] = {}
+        # term → list[block-row dict] cache: the analog of the reference
+        # preloading collocations.bin for O(1) lookups (CLAUDE.md:190-196).
+        # One pruned parquet scan per *miss set*, pure numpy afterwards.
+        self._block_cache: dict[str, list[dict]] = {}
+        # term → (docs, scores) decoded+merged arrays (bounded, FIFO) —
+        # the hot-term working set a serving node would keep pinned.
+        self._decoded_cache: dict[str, tuple] = {}
+        self.decoded_cache_max = 256
 
     # -- stats lookups ---------------------------------------------------
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
@@ -106,35 +115,52 @@ class IndexSearcher:
                 self._df_cache[t] = found.get(t, 0)
         return {t: self._df_cache[t] for t in terms}
 
-    # -- queries ----------------------------------------------------------
-    def _cursors(self, terms: list[str]) -> tuple[list[BlockCursor], dict]:
-        dfs = self.term_dfs(terms)
+    # -- block fetch -------------------------------------------------------
+    def prefetch(self, terms: list[str]) -> None:
+        """Fetch block rows for all uncached terms in ONE pruned scan."""
+        missing = sorted({t for t in terms if t not in self._block_cache})
+        if not missing:
+            return
         rows = (
-            self.segments.filter(F.col("term").isin(terms))
+            self.segments.filter(F.col("term").isin(missing))
             .select("term", "seg_part", "block_id", "first_doc", "last_doc",
                     "max_score", "docs_vb", "tfs_vb", "dls_vb")
             .collect()
         )
-        by_list: dict[tuple[str, int], list[dict]] = {}
+        for t in missing:
+            self._block_cache[t] = []
         for r in rows:
-            by_list.setdefault((r["term"], r["seg_part"]), []).append(r.asDict())
+            self._block_cache[r["term"]].append(r.asDict())
+        self.term_dfs(missing)
+
+    # -- queries ----------------------------------------------------------
+    def _cursors(self, terms: list[str]) -> tuple[list[BlockCursor], dict]:
+        self.prefetch(terms)
+        dfs = self.term_dfs(terms)
         cursors = []
         n_docs, avgdl = self.stats["n_docs"], self.stats["avgdl"]
         for ti, t in enumerate(terms):
             if dfs[t] == 0:
                 continue
             idf = idf_py(dfs[t], n_docs)
-            for (term, _part), blocks in by_list.items():
-                if term == t:
-                    cursors.append(BlockCursor(blocks, ti, idf, self.k1, self.b, avgdl))
+            by_part: dict[int, list[dict]] = {}
+            for r in self._block_cache[t]:
+                by_part.setdefault(r["seg_part"], []).append(r)
+            for blocks in by_part.values():
+                cursors.append(BlockCursor(blocks, ti, idf, self.k1, self.b, avgdl))
         return cursors, dfs
 
-    def search(self, query: str | list[str], k: int = 10, mode: str = "bmw"
+    def search(self, query: str | list[str], k: int = 10, mode: str = "auto"
                ) -> tuple[list[tuple[int, float]], dict]:
         """Top-k ``(doc_id, score)`` for a free-text query or term list.
 
-        ``mode``: ``bmw`` (block-max WAND), ``wand`` (global-bound WAND),
-        ``daat`` (exhaustive union — validation baseline).
+        ``mode``: ``auto`` (vectorized for head-heavy queries, block-max
+        WAND when a selective term makes pruning viable), ``bmw``,
+        ``wand`` (global-bound), ``vec`` (vectorized exhaustive),
+        ``daat`` (per-doc exhaustive — validation baseline).
+
+        All modes are rank- and score-identical; they differ only in
+        blocks decoded and constant factors.
         """
         terms = tokenize_py(query) if isinstance(query, str) else list(query)
         # dedupe preserving order (reference queries are unique-term sets)
@@ -142,9 +168,59 @@ class IndexSearcher:
         terms = [t for t in terms if not (t in seen or seen.add(t))]
         if not terms:
             return [], {"decoded_blocks": 0, "total_blocks": 0}
+        self.prefetch(terms)
+        dfs = self.term_dfs(terms)
+        if all(dfs[t] == 0 for t in terms):
+            return [], {"decoded_blocks": 0, "total_blocks": 0}
+        if mode == "auto":
+            # Pruning pays off when the rarest term is much more selective
+            # than the rest (its bound dominates θ quickly). Otherwise the
+            # vectorized exhaustive path wins on constant factors.
+            live_dfs = [d for d in dfs.values() if d > 0]
+            selective = len(live_dfs) > 1 and min(live_dfs) * 20 < max(live_dfs)
+            mode = "bmw" if selective else "vec"
+        if mode == "vec":
+            return self._vec_cached(terms, dfs, k)
         cursors, _ = self._cursors(terms)
         if not cursors:
             return [], {"decoded_blocks": 0, "total_blocks": 0}
         if mode == "daat":
             return exact_daat(cursors, k, len(terms))
         return block_max_wand(cursors, k, len(terms), use_block_max=(mode == "bmw"))
+
+    def _vec_cached(self, terms: list[str], dfs: dict[str, int], k: int
+                    ) -> tuple[list[tuple[int, float]], dict]:
+        """Vectorized path with a decoded-postings cache for hot terms."""
+        import numpy as np
+
+        from .wand import _decode_all, topk_from_arrays
+
+        n_docs, avgdl = self.stats["n_docs"], self.stats["avgdl"]
+        term_arrays = []
+        decoded = total = 0
+        for ti, t in enumerate(terms):
+            if dfs[t] == 0:
+                continue
+            if t in self._decoded_cache:
+                docs, scores = self._decoded_cache[t]
+                total += int(np.ceil(docs.size / 128)) if docs.size else 0
+            else:
+                idf = idf_py(dfs[t], n_docs)
+                by_part: dict[int, list[dict]] = {}
+                for r in self._block_cache[t]:
+                    by_part.setdefault(r["seg_part"], []).append(r)
+                curs = [BlockCursor(blocks, ti, idf, self.k1, self.b, avgdl)
+                        for blocks in by_part.values()]
+                parts = [_decode_all(c) for c in curs]
+                docs = np.concatenate([d for d, _ in parts]) if parts else np.empty(0, np.int64)
+                scores = np.concatenate([s for _, s in parts]) if parts else np.empty(0, np.float64)
+                order = np.argsort(docs, kind="stable")
+                docs, scores = docs[order], scores[order]
+                if len(self._decoded_cache) >= self.decoded_cache_max:
+                    self._decoded_cache.pop(next(iter(self._decoded_cache)))
+                self._decoded_cache[t] = (docs, scores)
+                decoded += sum(c.decoded_blocks for c in curs)
+                total += sum(c.nblocks for c in curs)
+            term_arrays.append((ti, docs, scores))
+        out = topk_from_arrays(term_arrays, k)
+        return out, {"decoded_blocks": decoded, "total_blocks": total}

@@ -260,3 +260,65 @@ def exact_daat(cursors: list[BlockCursor], k: int, n_terms: int
 
 def idf_py(df: int, n_docs: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _decode_all(cursor: BlockCursor) -> tuple[np.ndarray, np.ndarray]:
+    """Decode every block of a fresh cursor → (docs, scores) arrays."""
+    docs_parts, score_parts = [], []
+    while cursor.docs is not None:
+        docs_parts.append(cursor.docs[cursor.i:])
+        score_parts.append(cursor.scores[cursor.i:])
+        cursor._decode_and_position(cursor.bi + 1, 0)
+    if not docs_parts:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    return np.concatenate(docs_parts), np.concatenate(score_parts)
+
+
+def topk_from_arrays(term_arrays: list[tuple[int, np.ndarray, np.ndarray]],
+                     k: int) -> list[tuple[int, float]]:
+    """Exhaustive union top-k from per-term (term_idx, docs, scores) arrays.
+
+    Accumulation is term-major in ascending term_idx — the same FP
+    order as the oracle. Boundary-score selection keeps every doc tied
+    at the k-th score so the (score desc, doc asc) tie-break is exact.
+    """
+    if not term_arrays:
+        return []
+    union = np.unique(np.concatenate([d for _, d, _ in term_arrays]))
+    if union.size == 0:
+        return []
+    acc = np.zeros(union.size, dtype=np.float64)
+    for _, docs, scores in sorted(term_arrays, key=lambda x: x[0]):
+        if docs.size:
+            acc[np.searchsorted(union, docs)] += scores
+    kk = min(k, union.size)
+    if union.size > kk:
+        boundary = -np.partition(-acc, kk - 1)[kk - 1]
+        cand = np.flatnonzero(acc >= boundary)
+    else:
+        cand = np.arange(union.size)
+    order = cand[np.lexsort((union[cand], -acc[cand]))][:kk]
+    return [(int(union[i]), float(acc[i])) for i in order]
+
+
+def vectorized_topk(cursors: list[BlockCursor], k: int, n_terms: int
+                    ) -> tuple[list[tuple[int, float]], dict]:
+    """Exhaustive union scoring, fully vectorized in numpy.
+
+    Decodes every block, then accumulates per-term contributions in
+    query-term order over the sorted union of candidate docs — the FP
+    addition order matches the oracle exactly (per doc: one add per
+    term, term-major), so scores are bit-identical to DAAT/WAND.
+
+    This is the fast path when pruning cannot win (single/head-term
+    queries at local scale): ~100× faster than the per-doc Python
+    loop. WAND still wins when selective terms make most blocks
+    skippable without decode.
+    """
+    term_arrays = [(c.term_idx, *_decode_all(c)) for c in cursors]
+    out = topk_from_arrays(term_arrays, k)
+    stats = {
+        "decoded_blocks": sum(c.decoded_blocks for c in cursors),
+        "total_blocks": sum(c.nblocks for c in cursors),
+    }
+    return out, stats
