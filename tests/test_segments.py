@@ -47,16 +47,23 @@ def test_full_index_decode_matches_oracle(spark, zipf_setup):
     assert seen_pos == oracle.positions
 
 
-def test_block_max_scores_are_safe_bounds(spark, zipf_setup):
-    """Every posting's exact score must be ≤ its block's max_score."""
+def test_block_impact_bounds_are_safe(spark, zipf_setup):
+    """Every posting's exact score must be ≤ the bound derived from the
+    block's (max_tf, min_dl) impact metadata."""
+    from word_sketch_lucene_spark.functions.scoring import K1, B
+    from word_sketch_lucene_spark.query.wand import idf_py
+
     root, oracle = zipf_setup
     seg = spark.read.parquet(str(root / "segments")).collect()
     for r in seg:
         gaps = vbyte_decode(bytes(r["docs_vb"])).astype("int64")
         docs = gaps.cumsum() + r["first_doc"]
+        idf = idf_py(oracle.df(r["term"]), oracle.n_docs)
+        bound = idf * (r["max_tf"] * (K1 + 1.0)) / (
+            r["max_tf"] + K1 * (1.0 - B + B * r["min_dl"] / oracle.avgdl))
         for d in docs:
             s = oracle.score_doc([r["term"]], int(d))
-            assert s <= r["max_score"] + 1e-12
+            assert s <= bound + 1e-12
 
 
 def test_rank_identity_on_zipf_corpus(spark, zipf_setup):

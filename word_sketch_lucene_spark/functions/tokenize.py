@@ -67,17 +67,31 @@ def explode_tokens(
     id_col: str = "doc_id",
     text_col: str = "text",
     use_pandas_udf: bool = False,
+    with_dl: bool = False,
 ) -> DataFrame:
-    """``(id, text)`` → exploded ``(doc_id, pos, term)`` rows.
+    """``(id, text)`` → exploded ``(doc_id, pos, term[, dl])`` rows.
 
     ``posexplode`` stays JVM-side; positions are 0-based token offsets
     (the reference's hit positions are 0-based too,
     ``BlackLabQueryExecutor.java:174``).
+
+    ``with_dl=True`` attaches the document length as a per-row column
+    computed *during* tokenization (``size(tokens)``) — the index build
+    uses this so per-posting ``dl`` needs no ``doc_lens`` join at all.
     """
     toks = tokenize_udf(F.col(text_col)) if use_pandas_udf else tokens_expr(text_col)
+    if not with_dl:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(toks).alias("pos", "term"),
+        )
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(toks).alias("pos", "term"),
+        toks.alias("_toks"),
+    ).select(
+        "doc_id",
+        F.posexplode("_toks").alias("pos", "term"),
+        F.size("_toks").alias("dl"),
     )
 
 

@@ -1,24 +1,32 @@
-"""Index build pipeline: pages → tokens → postings → stats → segments.
+"""Index build pipeline: pages → tokens → segments (+stats, docstore).
 
 Reference parity: this is the Spark-first re-expression of the whole
 reference index build (``Main.java:111-144`` driving
 ``ConlluConverter`` chunking + ``BlackLabConllUIndexer`` → Lucene
 segments). Stage map:
 
-1. **tokenize** — Arrow-vectorized UDF (U1, ``tag_with_stanza.py``
-   analog) → exploded ``(doc_id, pos, term)``.
-2. **postings** — ``groupBy(term, doc_id)`` → ``(tf, positions)``;
-   map-side partial aggregation absorbs head-term skew (every (term,
-   doc) pair is unique, so the shuffle key is well-spread).
-3. **stats** — the collocation-style single-pass grouped aggregate
-   (``CollocateQueryHelper.java:102-136`` analog) → ``term_stats`` +
-   ``(N, avgdl)``.
-4. **segments** — *salted* repartition by ``(term, pmod(hash(doc_id),
-   doc_salt))`` (explicit skew defense: a head term's postings split
-   across ``doc_salt`` segments, each sorted by doc_id — query-side
-   merge is a cheap disjoint concat), ``sortWithinPartitions(term,
-   doc_id)``, then the ``mapInPandas`` codec kernel of
-   ``segments.py``.
+1. **tokens** — Arrow-vectorized tokenizer UDF (U1,
+   ``tag_with_stanza.py`` analog) → exploded ``(doc_id, pos, term,
+   dl)`` materialized as a compressed parquet stage (columnar,
+   spill-free, the natural crash-resume point). ``dl`` is computed
+   in-row during tokenization, so nothing downstream ever joins a
+   doc-length table.
+2. **segments** — ONE *salted* shuffle of the flat token columns,
+   keyed ``(term, pmod(hash(doc_id), doc_salt))`` (explicit skew
+   defense: a head term's postings split across ``doc_salt`` segments,
+   each sorted by doc_id — query-side merge is a cheap disjoint
+   concat), sorted ``(term, doc_id, pos)``, then the ``mapInPandas``
+   codec kernel of ``segments.py``. Impact metadata (max_tf, min_dl)
+   replaces precomputed scores, so this stage needs no collection
+   statistics — the critical path is tokenize → shuffle → encode.
+3. **doc_lens / corpus stats** — one column-pruned aggregate over the
+   tokens stage (runs CONCURRENTLY with segments; the scheduler
+   interleaves the jobs — the engine-level analog of the reference's
+   relation fan-out pool, ``SketchHandlers.java:48-49``).
+4. **term_stats** — derived from segment *metadata* (``Σn = df``,
+   ``Σsum_tf = cf`` per term), the collocation-style grouped aggregate
+   (``CollocateQueryHelper.java:102-136``) over block rows instead of
+   a second full pass over 10^12 tokens.
 5. **docstore** — the forward index (``BlackLabQueryExecutor.java:159``
    FORWARD_INDEX concordances): ``(doc_id, text, tokens)``.
 
@@ -38,20 +46,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scoring import B, K1
-from ..functions.tokenize import doc_lengths, explode_tokens, tokens_expr
+from ..functions.tokenize import explode_tokens, tokens_expr
 from .manifest import StageManifest, config_fingerprint, input_fingerprint
-from .segments import BLOCK_SIZE, SEGMENT_SCHEMA, make_segment_writer
-from .stats import corpus_stats, term_stats
+from .segments import BLOCK_SIZE, SEGMENT_SCHEMA, TOKEN_INPUT_COLUMNS, make_segment_writer
 
 STATS_FILE = "stats.json"
 
 
 def build_postings(tokens: DataFrame) -> DataFrame:
-    """Exploded tokens → ``(term, doc_id, tf, positions)``.
+    """Exploded tokens → ``(term, doc_id, tf, positions)`` (logical view).
 
     ``sort_array(collect_list(pos))`` restores ascending positions
-    regardless of shuffle arrival order (positions are distinct ints
-    per (term, doc)).
+    regardless of shuffle arrival order. The segment kernel does this
+    aggregation itself from sorted rows; this DataFrame form exists for
+    the API/oracle surface.
     """
     return tokens.groupBy("term", "doc_id").agg(
         F.count("*").alias("tf"),
@@ -100,75 +108,30 @@ def build_index(
     cfg_fp = config_fingerprint(config)
     inputs_fp = input_fingerprint(input_paths) if input_paths else "unspecified"
 
-    # ---- stage: tokens (materialized once, read by every later pass) --
-    # A compressed parquet stage instead of an in-heap persist: columnar,
-    # spill-free, identical layout at any executor count, and the natural
-    # resume point after a crash mid-build. Downstream aggregates read
-    # only the columns they need (column pruning on the token table).
+    # ---- stage: tokens ------------------------------------------------
     st_tok = StageManifest(paths.tokens, "tokens")
     if not st_tok.is_complete(inputs_fp, cfg_fp):
         (
             explode_tokens(pages, doc_id_col, text_col,
-                           use_pandas_udf=use_pandas_udf)
+                           use_pandas_udf=use_pandas_udf, with_dl=True)
             .write.mode("overwrite").parquet(str(paths.tokens))
         )
         st_tok.commit(inputs_fp, cfg_fp,
                       lineage={"inputs": input_paths or [], "config": config})
     tokens = spark.read.parquet(str(paths.tokens))
 
-    # ---- stages: doc_lens + corpus stats ∥ term_stats -----------------
-    # Two independent aggregates over the tokens stage — submitted as
-    # CONCURRENT Spark jobs (the scheduler interleaves their stages), the
-    # engine-level analog of the reference's relation fan-out thread pool
-    # (SketchHandlers.java:48-49).
-    def _stage_doc_lens() -> None:
-        st_stats = StageManifest(paths.doc_lens, "doc_lens")
-        if st_stats.is_complete(inputs_fp, cfg_fp):
+    # ---- stages: segments ∥ doc_lens+corpus_stats ---------------------
+    def _stage_segments() -> None:
+        st_seg = StageManifest(paths.segments, "segments")
+        if st_seg.is_complete(inputs_fp, cfg_fp):
             return
-        doc_lengths(tokens).write.mode("overwrite").parquet(str(paths.doc_lens))
-        dl = spark.read.parquet(str(paths.doc_lens))
-        s = corpus_stats(dl)
-        s.update({"k1": k1, "b": b, "block_size": block_size, "doc_salt": doc_salt})
-        tmp = paths.stats.with_suffix(".tmp")
-        tmp.write_text(json.dumps(s, indent=1, sort_keys=True))
-        os.replace(tmp, paths.stats)
-        st_stats.commit(inputs_fp, cfg_fp, metrics=s,
-                        lineage={"inputs": input_paths or [], "config": config})
-
-    def _stage_term_stats() -> None:
-        st_ts = StageManifest(paths.term_stats, "term_stats")
-        if st_ts.is_complete(inputs_fp, cfg_fp):
-            return
-        term_stats(tokens).write.mode("overwrite").parquet(str(paths.term_stats))
-        st_ts.commit(inputs_fp, cfg_fp, lineage={"inputs": input_paths or []})
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = [pool.submit(_stage_doc_lens), pool.submit(_stage_term_stats)]
-        for f in futs:
-            f.result()
-    stats = json.loads(paths.stats.read_text())
-
-    # ---- stage: segments ---------------------------------------------
-    st_seg = StageManifest(paths.segments, "segments")
-    if not st_seg.is_complete(inputs_fp, cfg_fp):
-        ts = spark.read.parquet(str(paths.term_stats)).select("term", "df")
-        dl = spark.read.parquet(str(paths.doc_lens))
-        # ONE shuffle of flat int columns: raw tokens (+dl, +df) hash-keyed
-        # by (term, doc-salt), sorted (term, doc_id, pos); the kernel does
-        # the (term, doc)→(tf, positions) aggregation itself. No JVM array
-        # building, half the shuffle volume of a groupBy(collect_list).
-        feed = (
-            tokens
-            .join(dl, "doc_id")          # per-posting dl (exact query-time BM25)
-            .join(ts, "term")            # per-term df (block max_score bounds)
-            .withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(doc_salt)))
-        )
-        writer = make_segment_writer(
-            stats["n_docs"], stats["avgdl"], block_size=block_size, k1=k1, b=b)
+        writer = make_segment_writer(block_size=block_size)
         (
-            feed.repartition(nparts, F.col("term"), F.col("salt"))
+            tokens
+            .withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(doc_salt)))
+            .repartition(nparts, F.col("term"), F.col("salt"))
             .sortWithinPartitions("term", "doc_id", "pos")
-            .select("term", "doc_id", "pos", "dl", "df")
+            .select(*TOKEN_INPUT_COLUMNS)
             .mapInPandas(writer, schema=SEGMENT_SCHEMA)
             .write.mode("overwrite")
             .parquet(str(paths.segments))
@@ -193,6 +156,52 @@ def build_index(
         }
         st_seg.commit(inputs_fp, cfg_fp, metrics=metrics, partitions=parts,
                       lineage={"inputs": input_paths or [], "config": config})
+
+    def _stage_doc_lens() -> None:
+        st_stats = StageManifest(paths.doc_lens, "doc_lens")
+        if st_stats.is_complete(inputs_fp, cfg_fp):
+            return
+        (
+            tokens.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+            .write.mode("overwrite").parquet(str(paths.doc_lens))
+        )
+        dl = spark.read.parquet(str(paths.doc_lens))
+        row = dl.agg(
+            F.count("*").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            F.sum("dl").alias("total_tokens"),
+        ).collect()[0]
+        s = {
+            "n_docs": int(row["n_docs"]),
+            "avgdl": float(row["avgdl"]),
+            "total_tokens": int(row["total_tokens"]),
+            "k1": k1, "b": b, "block_size": block_size, "doc_salt": doc_salt,
+        }
+        tmp = paths.stats.with_suffix(".tmp")
+        tmp.write_text(json.dumps(s, indent=1, sort_keys=True))
+        os.replace(tmp, paths.stats)
+        st_stats.commit(inputs_fp, cfg_fp, metrics=s,
+                        lineage={"inputs": input_paths or [], "config": config})
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_stage_segments), pool.submit(_stage_doc_lens)]
+        for f in futs:
+            f.result()
+    stats = json.loads(paths.stats.read_text())
+
+    # ---- stage: term_stats (derived from segment metadata) ------------
+    st_ts = StageManifest(paths.term_stats, "term_stats")
+    if not st_ts.is_complete(inputs_fp, cfg_fp):
+        seg = spark.read.parquet(str(paths.segments))
+        (
+            seg.groupBy("term").agg(
+                F.sum("n").alias("df"),
+                F.sum("sum_tf").alias("cf"),
+            )
+            .write.mode("overwrite").parquet(str(paths.term_stats))
+        )
+        st_ts.commit(inputs_fp, cfg_fp,
+                     lineage={"derived_from": str(paths.segments)})
 
     # ---- stage: docstore (forward index) ------------------------------
     if store_docstore:

@@ -6,22 +6,27 @@ SpanQuery O(log N) seek + O(k) decode). This module reproduces that
 layout as parquet rows, one row per ≤128-posting block:
 
 ``(term, seg_part, block_id, n, first_doc, last_doc, max_tf, sum_tf,
-max_score, docs_vb, tfs_vb, dls_vb, pos_vb)``
+min_dl, docs_vb, tfs_vb, dls_vb, pos_vb)``
 
 - ``docs_vb``: VByte(doc-id gaps; first gap relative to ``first_doc``)
   — the skip-pointer analog is (first_doc, last_doc) on every block row
   plus parquet row-group min/max pruning on ``term``.
-- ``max_score``: the *exact* max BM25 contribution of any posting in
-  the block (float64, never rounded down) — block-max WAND's safe upper
-  bound, generalizing the reference's logDice upper-bound prune
-  (``CollocateQueryHelper.java:232-247``).
+- ``(max_tf, min_dl)``: block impact metadata. The query engine derives
+  a safe BM25 upper bound ``idf(df) · tfn(max_tf, min_dl)`` per block
+  (BM25's tf-normalization is monotone ↑ in tf and ↓ in dl, so the
+  bound dominates every posting in the block) — block-max WAND's
+  pruning key, generalizing the reference's logDice upper-bound prune
+  (``CollocateQueryHelper.java:232-247``). Storing impacts instead of
+  precomputed scores keeps the build independent of collection
+  statistics: segments need NO df/avgdl join, so the critical path is
+  tokenize → one shuffle → encode.
 - ``dls_vb``: per-posting document lengths → query-time scoring is
   exact without a doc-store join.
 - ``pos_vb``: per-posting position lists (``[len, Δpos…]``), a separate
   column so pure-BM25 scans never read it (column pruning).
 
 Shuffle design (the scale-critical decision): the kernel consumes RAW
-token rows ``(term, doc_id, pos, dl, df)`` — ONE shuffle, hash-keyed by
+token rows ``(term, doc_id, pos, dl)`` — ONE shuffle, hash-keyed by
 ``(term, pmod(hash(doc_id), salt))`` and sorted ``(term, doc_id, pos)``
 — and performs the (term, doc)→(tf, positions) aggregation itself as a
 numpy run-length pass. This replaces an earlier two-shuffle design
@@ -51,62 +56,48 @@ from ..functions.codec import (
     vbyte_encode,
     vbyte_lengths,
 )
-from ..functions.scoring import B, K1
 
 BLOCK_SIZE = 128
 
 SEGMENT_SCHEMA = (
     "term string, seg_part int, block_id int, n int, "
-    "first_doc long, last_doc long, max_tf int, sum_tf long, max_score double, "
+    "first_doc long, last_doc long, max_tf int, sum_tf long, min_dl int, "
     "docs_vb binary, tfs_vb binary, dls_vb binary, pos_vb binary"
 )
 
 SEGMENT_COLUMNS = [
     "term", "seg_part", "block_id", "n", "first_doc", "last_doc",
-    "max_tf", "sum_tf", "max_score", "docs_vb", "tfs_vb", "dls_vb", "pos_vb",
+    "max_tf", "sum_tf", "min_dl", "docs_vb", "tfs_vb", "dls_vb", "pos_vb",
 ]
 
-TOKEN_INPUT_COLUMNS = ["term", "doc_id", "pos", "dl", "df"]
-
-
-def _bm25_scores(tfs: np.ndarray, dls: np.ndarray, idfs, avgdl: float,
-                 k1: float, b: float) -> np.ndarray:
-    return idfs * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-
-
-def _idf(dfs: np.ndarray, n_docs: float) -> np.ndarray:
-    return np.log(1.0 + (n_docs - dfs + 0.5) / (dfs + 0.5))
+TOKEN_INPUT_COLUMNS = ["term", "doc_id", "pos", "dl"]
 
 
 def _aggregate_postings(terms: np.ndarray, docs: np.ndarray, poss: np.ndarray,
-                        dls: np.ndarray, dfs: np.ndarray):
+                        dls: np.ndarray):
     """Token rows (sorted by term, doc, pos) → per-posting arrays.
 
-    Returns (p_terms, p_docs, p_tfs, p_dls, p_dfs, p_pos_starts) where
+    Returns (p_terms, p_docs, p_tfs, p_dls, p_pos_starts) where
     positions of posting i are ``poss[p_pos_starts[i] : p_pos_starts[i]
     + p_tfs[i]]`` — positions stay one flat array end to end.
     """
     n = terms.size
     if n == 0:
         z = np.empty(0, np.int64)
-        return terms, z, z, z, np.empty(0, np.float64), z
+        return terms, z, z, z, z
     change = np.flatnonzero(
         (terms[1:] != terms[:-1]) | (docs[1:] != docs[:-1])) + 1
     starts = np.concatenate([[0], change]).astype(np.int64)
     ends = np.concatenate([change, [n]]).astype(np.int64)
-    return (terms[starts], docs[starts], (ends - starts),
-            dls[starts], dfs[starts], starts)
+    return terms[starts], docs[starts], (ends - starts), dls[starts], starts
 
 
 def _emit_term_blocks(
     term: str, docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-    pos_flat: np.ndarray, pos_starts: np.ndarray, df: float, part_id: int,
-    n_docs: float, avgdl: float, block_size: int, k1: float, b: float,
+    pos_flat: np.ndarray, pos_starts: np.ndarray, part_id: int,
+    block_size: int,
 ) -> list[tuple]:
     """Per-term path (multi-block / carried terms)."""
-    idf = float(_idf(np.array([df]), n_docs)[0])
-    scores = _bm25_scores(tfs.astype(np.float64), dls.astype(np.float64),
-                          idf, avgdl, k1, b)
     rows = []
     n = docs.size
     for block_id, lo in enumerate(range(0, n, block_size)):
@@ -117,7 +108,7 @@ def _emit_term_blocks(
                     for i in range(lo, hi)]
         rows.append((
             term, part_id, block_id, hi - lo, first_doc, last_doc,
-            int(t.max()), int(t.sum()), float(scores[lo:hi].max()),
+            int(t.max()), int(t.sum()), int(dl.min()),
             vbyte_encode(delta_encode(d, first_delta_from=first_doc)),
             vbyte_encode(t.astype(np.uint64)),
             vbyte_encode(dl.astype(np.uint64)),
@@ -138,9 +129,8 @@ def _sliced_stream(values: np.ndarray, group_starts: np.ndarray) -> list[bytes]:
 
 def _emit_single_block_runs(
     p_terms: np.ndarray, p_docs: np.ndarray, p_tfs: np.ndarray,
-    p_dls: np.ndarray, p_dfs: np.ndarray, pos_sel: np.ndarray,
+    p_dls: np.ndarray, pos_sel: np.ndarray,
     run_starts: np.ndarray, run_ends: np.ndarray, part_id: int,
-    n_docs: float, avgdl: float, k1: float, b: float,
 ) -> pd.DataFrame:
     """Vectorized encoder for term runs that fit one block (df ≤ 128).
 
@@ -151,11 +141,9 @@ def _emit_single_block_runs(
     if n_runs == 0:
         return pd.DataFrame(columns=SEGMENT_COLUMNS)
     run_lens = run_ends - run_starts
-    scores = _bm25_scores(p_tfs.astype(np.float64), p_dls.astype(np.float64),
-                          _idf(p_dfs.astype(np.float64), n_docs), avgdl, k1, b)
     max_tf = np.maximum.reduceat(p_tfs, run_starts)
     sum_tf = np.add.reduceat(p_tfs, run_starts)
-    max_score = np.maximum.reduceat(scores, run_starts)
+    min_dl = np.minimum.reduceat(p_dls, run_starts)
     first_docs = p_docs[run_starts]
     last_docs = p_docs[run_ends - 1]
 
@@ -190,7 +178,7 @@ def _emit_single_block_runs(
         "last_doc": last_docs.astype(np.int64),
         "max_tf": max_tf.astype(np.int32),
         "sum_tf": sum_tf.astype(np.int64),
-        "max_score": max_score,
+        "min_dl": min_dl.astype(np.int32),
         "docs_vb": docs_vb,
         "tfs_vb": tfs_vb,
         "dls_vb": dls_vb,
@@ -198,12 +186,12 @@ def _emit_single_block_runs(
     })
 
 
-def make_segment_writer(n_docs: int, avgdl: float, block_size: int = BLOCK_SIZE,
-                        k1: float = K1, b: float = B):
-    """Build the ``mapInPandas`` kernel (closure over broadcast-safe scalars).
+def make_segment_writer(block_size: int = BLOCK_SIZE):
+    """Build the ``mapInPandas`` kernel.
 
-    Expects RAW TOKEN input columns ``term, doc_id, pos, dl, df`` sorted
-    by ``(term, doc_id, pos)`` within the partition.
+    Expects RAW TOKEN input columns ``term, doc_id, pos, dl`` sorted by
+    ``(term, doc_id, pos)`` within the partition. Needs no collection
+    statistics — impacts (max_tf, min_dl) replace precomputed scores.
     """
 
     def write_segments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -211,7 +199,7 @@ def make_segment_writer(n_docs: int, avgdl: float, block_size: int = BLOCK_SIZE,
         part_id = tc.partitionId() if tc is not None else 0
         # carry: raw token arrays of the term spanning a batch boundary
         carry_term: str | None = None
-        carry: list[tuple] = []  # (docs, poss, dls, df)
+        carry: list[tuple] = []  # (docs, poss, dls)
 
         def flush_carry() -> list[tuple]:
             nonlocal carry_term, carry
@@ -220,14 +208,11 @@ def make_segment_writer(n_docs: int, avgdl: float, block_size: int = BLOCK_SIZE,
             docs = np.concatenate([c[0] for c in carry])
             poss = np.concatenate([c[1] for c in carry])
             dls = np.concatenate([c[2] for c in carry])
-            df = carry[0][3]
             terms = np.full(docs.size, carry_term, dtype=object)
-            dfs = np.full(docs.size, df, dtype=np.float64)
-            p_terms, p_docs, p_tfs, p_dls, p_dfs, p_starts = \
-                _aggregate_postings(terms, docs, poss, dls, dfs)
-            rows = _emit_term_blocks(
-                carry_term, p_docs, p_tfs, p_dls, poss, p_starts, df,
-                part_id, float(n_docs), float(avgdl), block_size, k1, b)
+            _t, p_docs, p_tfs, p_dls, p_starts = \
+                _aggregate_postings(terms, docs, poss, dls)
+            rows = _emit_term_blocks(carry_term, p_docs, p_tfs, p_dls,
+                                     poss, p_starts, part_id, block_size)
             carry_term, carry = None, []
             return rows
 
@@ -238,7 +223,6 @@ def make_segment_writer(n_docs: int, avgdl: float, block_size: int = BLOCK_SIZE,
             docs = pdf["doc_id"].to_numpy(dtype=np.int64)
             poss = pdf["pos"].to_numpy(dtype=np.int64)
             dls = pdf["dl"].to_numpy(dtype=np.int64)
-            dfs = pdf["df"].to_numpy(dtype=np.float64)
 
             change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
             starts = np.concatenate([[0], change]).astype(np.int64)
@@ -248,21 +232,21 @@ def make_segment_writer(n_docs: int, avgdl: float, block_size: int = BLOCK_SIZE,
             if carry_term is not None:
                 if terms[0] == carry_term:
                     e0 = int(ends[0])
-                    carry.append((docs[:e0], poss[:e0], dls[:e0], dfs[0]))
+                    carry.append((docs[:e0], poss[:e0], dls[:e0]))
                     if starts.size == 1:
                         continue  # whole batch is one run; keep carrying
                     # consumed rows leave the batch before aggregation
-                    terms, docs, poss = terms[e0:], docs[e0:], poss[e0:]
-                    dls, dfs = dls[e0:], dfs[e0:]
+                    terms, docs = terms[e0:], docs[e0:]
+                    poss, dls = poss[e0:], dls[e0:]
                     starts, ends = starts[1:] - e0, ends[1:] - e0
                 loop_rows += flush_carry()
             # last term run carries to the next batch
             s_last, e_last = int(starts[-1]), int(ends[-1])
             carry_term = terms[s_last]
             carry = [(docs[s_last:e_last], poss[s_last:e_last],
-                      dls[s_last:e_last], dfs[s_last])]
-            terms, docs, poss = terms[:s_last], docs[:s_last], poss[:s_last]
-            dls, dfs = dls[:s_last], dfs[:s_last]
+                      dls[s_last:e_last])]
+            terms, docs = terms[:s_last], docs[:s_last]
+            poss, dls = poss[:s_last], dls[:s_last]
             starts, ends = starts[:-1], ends[:-1]
             if starts.size == 0:
                 if loop_rows:
@@ -270,8 +254,8 @@ def make_segment_writer(n_docs: int, avgdl: float, block_size: int = BLOCK_SIZE,
                 continue
 
             # aggregate remaining token rows → postings (vectorized)
-            p_terms, p_docs, p_tfs, p_dls, p_dfs, p_starts = \
-                _aggregate_postings(terms, docs, poss, dls, dfs)
+            p_terms, p_docs, p_tfs, p_dls, p_starts = \
+                _aggregate_postings(terms, docs, poss, dls)
             # term-run boundaries over POSTINGS
             p_change = np.flatnonzero(p_terms[1:] != p_terms[:-1]) + 1
             p_run_starts = np.concatenate([[0], p_change]).astype(np.int64)
@@ -296,15 +280,13 @@ def make_segment_writer(n_docs: int, avgdl: float, block_size: int = BLOCK_SIZE,
                 new_ends = np.cumsum(s_e - s_s).astype(np.int64)
                 vec_df = _emit_single_block_runs(
                     p_terms[sel], p_docs[sel], p_tfs[sel], p_dls[sel],
-                    p_dfs[sel], pos_sel, new_starts, new_ends,
-                    part_id, float(n_docs), float(avgdl), k1, b)
+                    pos_sel, new_starts, new_ends, part_id)
             else:
                 vec_df = pd.DataFrame(columns=SEGMENT_COLUMNS)
             for a, e in zip(p_run_starts[~single], p_run_ends[~single]):
                 loop_rows += _emit_term_blocks(
                     p_terms[a], p_docs[a:e], p_tfs[a:e], p_dls[a:e],
-                    poss, p_starts[a:e], p_dfs[a], part_id,
-                    float(n_docs), float(avgdl), block_size, k1, b)
+                    poss, p_starts[a:e], part_id, block_size)
             frames = [f for f in
                       (vec_df, pd.DataFrame(loop_rows, columns=SEGMENT_COLUMNS))
                       if len(f)]

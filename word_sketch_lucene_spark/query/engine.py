@@ -124,7 +124,7 @@ class IndexSearcher:
         rows = (
             self.segments.filter(F.col("term").isin(missing))
             .select("term", "seg_part", "block_id", "first_doc", "last_doc",
-                    "max_score", "docs_vb", "tfs_vb", "dls_vb")
+                    "max_tf", "min_dl", "docs_vb", "tfs_vb", "dls_vb")
             .collect()
         )
         for t in missing:

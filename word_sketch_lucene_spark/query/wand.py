@@ -58,7 +58,12 @@ class BlockCursor:
         self.k1, self.b, self.avgdl = k1, b, avgdl
         self.first_docs = np.array([r["first_doc"] for r in blocks], dtype=np.int64)
         self.last_docs = np.array([r["last_doc"] for r in blocks], dtype=np.int64)
-        self.max_scores = np.array([r["max_score"] for r in blocks], dtype=np.float64)
+        # safe per-block bound from impact metadata: BM25's tf-norm is
+        # monotone ↑tf, ↓dl ⇒ idf·tfn(max_tf, min_dl) dominates the block
+        mtf = np.array([r["max_tf"] for r in blocks], dtype=np.float64)
+        mdl = np.array([r["min_dl"] for r in blocks], dtype=np.float64)
+        self.max_scores = idf * (mtf * (k1 + 1.0)) / (
+            mtf + k1 * (1.0 - b + b * mdl / avgdl))
         self.docs_vb = [r["docs_vb"] for r in blocks]
         self.tfs_vb = [r["tfs_vb"] for r in blocks]
         self.dls_vb = [r["dls_vb"] for r in blocks]
