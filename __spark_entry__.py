@@ -20,10 +20,24 @@ from pyspark.sql import functions as F
 from word_sketch_lucene_spark import oracle_sql as osql
 from word_sketch_lucene_spark.functions.tokenize import doc_lengths, explode_tokens
 from word_sketch_lucene_spark.index.stats import term_stats
+from word_sketch_lucene_spark.operators.collocation import collocates_for_head
+from word_sketch_lucene_spark.operators.dependency import (
+    annotate_tokens,
+    dependency_sketch,
+)
+from word_sketch_lucene_spark.operators.exploration import (
+    common_collocates,
+    seed_collocates,
+)
+from word_sketch_lucene_spark.operators.proximity import adjacent_pairs
+from word_sketch_lucene_spark.plans.relations import GrammarCatalog, word_sketch
+from word_sketch_lucene_spark.query.concordance import concordance_page, find_hits
 from word_sketch_lucene_spark.query.engine import bm25_topk_df
 
 FLAGSHIP_TERMS = ["spark", "join"]
 POSTINGS_TERMS = ["spark", "customer", "vector"]
+SKETCH_HEAD = "table"
+SEEDS = ["table", "row", "column"]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,6 +90,64 @@ def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 span adjacency join → top-20 bigrams."""
+    return (
+        adjacent_pairs(explode_tokens(_docs(spark, sf_dir)))
+        .groupBy("head_term", "colloc_term")
+        .agg(F.count("*").alias("pair_freq"))
+        .orderBy(F.desc("pair_freq"), F.asc("head_term"), F.asc("colloc_term"))
+        .limit(20)
+    )
+
+
+def q_colloc_logdice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A4+J2+J4: logDice-ranked collocates of one head (the
+    reference's per-relation sketch core)."""
+    toks = explode_tokens(_docs(spark, sf_dir))
+    return collocates_for_head(toks, term_stats(toks), "spark",
+                               min_gap=1, max_gap=2, ordered=False,
+                               limit=20, round_dp=4)
+
+
+def q_word_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 full word sketch: all SURFACE relations, one unioned job."""
+    toks = explode_tokens(_docs(spark, sf_dir))
+    return word_sketch(toks, term_stats(toks), SKETCH_HEAD,
+                       GrammarCatalog.load(), limit_per_relation=10,
+                       round_dp=4)
+
+
+def q_dep_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 dependency sketch (CLI blacklab-query analog, stub annotation)."""
+    toks = explode_tokens(_docs(spark, sf_dir))
+    return dependency_sketch(annotate_tokens(toks), term_stats(toks),
+                             SKETCH_HEAD, "nsubj", limit=20, round_dp=4)
+
+
+def q_multiseed_common(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1/A7/A8 multi-seed intersection (explore-multi endpoint)."""
+    toks = explode_tokens(_docs(spark, sf_dir))
+    per_seed = seed_collocates(toks, term_stats(toks), SEEDS,
+                               limit_per_seed=50, min_gap=1, max_gap=2,
+                               ordered=False, round_dp=4)
+    return common_collocates(per_seed, min_shared=2, round_dp=4)
+
+
+def q_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2+W6+J5 paginated KWIC over the forward index."""
+    docs = _docs(spark, sf_dir)
+    from word_sketch_lucene_spark.functions.tokenize import tokens_expr
+
+    toks = explode_tokens(docs)
+    docstore = docs.select("doc_id", tokens_expr("text").alias("tokens"))
+    page = concordance_page(find_hits(toks, "spark"), docstore,
+                            offset=0, page_size=10, context=3)
+    return page.select("rank", "doc_id", "pos",
+                       F.col("left").alias("left_ctx"), "kw",
+                       F.col("right").alias("right_ctx"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -89,6 +161,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lengths": q_doc_lengths,
         "top_terms": q_top_terms,
         "postings": q_postings,
+        "bigram_counts": q_bigram_counts,
+        "colloc_logdice": q_colloc_logdice,
+        "word_sketch": q_word_sketch,
+        "dep_sketch": q_dep_sketch,
+        "multiseed_common": q_multiseed_common,
+        "concordance": q_concordance,
     }
 
 
@@ -100,4 +178,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_lengths": osql.sql_doc_lengths(),
         "top_terms": osql.sql_top_terms(20),
         "postings": osql.sql_postings(POSTINGS_TERMS),
+        "bigram_counts": osql.sql_bigram_counts(20),
+        "colloc_logdice": osql.sql_colloc_logdice("spark", 1, 2, 20),
+        "word_sketch": osql.sql_word_sketch(SKETCH_HEAD, GrammarCatalog.load(), 10),
+        "dep_sketch": osql.sql_dependency_sketch(SKETCH_HEAD, "nsubj"),
+        "multiseed_common": osql.sql_multiseed_common(SEEDS, 1, 2, 50, 2),
+        "concordance": osql.sql_concordance("spark", 10, 3),
     }

@@ -1,0 +1,120 @@
+"""Dependency-relation joins over annotated tokens.
+
+Reference parity (J3, SURVEY §3.2): BCQL relation queries
+``"lemma" -deprel-> _`` match governor→dependent pairs on the deprel
+annotation layer (``BlackLabQueryExecutor.java:211-229``; dep patterns
+``grammars/relations.json:330-553``). The annotation layers (head,
+deprel per token) come from the CoNLL-U columns produced upstream by
+the Stanza tagger (``tag_with_stanza.py``, ``conllu-sentences.blf.yaml:41-62``).
+
+This container has no NLP stack, so :func:`annotate_tokens` is the
+documented STUB for that tagger: a deterministic, SQL-reproducible
+annotation (fixed-length pseudo-sentences, head = previous token,
+deprel from the dependent's word class). The *join machinery* — which
+is the engine's part of the contract — is real and tested: an
+equi-join on ``(doc_id, sent_id, head_id) = (doc_id, sent_id,
+token_id)``, i.e. one shuffle co-keyed on the sentence, exactly how a
+real parse table would be queried.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scoring import logdice_expr
+from ..plans.relations import word_class_expr
+
+SENT_LEN = 20  # pseudo-sentence length of the stub annotator
+
+
+def annotate_tokens(tokens: DataFrame) -> DataFrame:
+    """Exploded tokens → CoNLL-U-shaped annotation columns.
+
+    ``(doc_id, sent_id, token_id, term, wclass, head_id, deprel)``;
+    1-based token ids, ``head_id = token_id - 1`` (0 = sentence root),
+    deprel = f(word class of the dependent). STUB for a real parser —
+    replace this function with the tagger output at deployment; every
+    downstream operator is annotation-source-agnostic.
+    """
+    wc = word_class_expr(F.col("term"))
+    return tokens.select(
+        "doc_id",
+        (F.col("pos") / SENT_LEN).cast("int").alias("sent_id"),
+        (F.col("pos") % SENT_LEN + 1).cast("int").alias("token_id"),
+        "term",
+        wc.alias("wclass"),
+        (F.col("pos") % SENT_LEN).cast("int").alias("head_id"),
+        F.when(wc == "DET", F.lit("det"))
+        .when(wc == "ADJ", F.lit("amod"))
+        .when(wc == "NOUN", F.lit("nsubj"))
+        .when(wc == "VERB", F.lit("conj"))
+        .otherwise(F.lit("dep")).alias("deprel"),
+    )
+
+
+def dependency_pairs(annotated: DataFrame) -> DataFrame:
+    """Governor→dependent pairs: equi-join on (doc, sentence, head id).
+
+    ``(doc_id, sent_id, head_term, dep_term, deprel)`` — the Spark form
+    of the reference's relation-query span match (SURVEY §3.2 trace:
+    self-join on ``(doc, sent, head_id)=(doc, sent, id)``).
+    """
+    deps = annotated.filter(F.col("head_id") > 0).select(
+        "doc_id", "sent_id",
+        F.col("head_id").alias("join_id"),
+        F.col("term").alias("dep_term"),
+        "deprel",
+    )
+    heads = annotated.select(
+        F.col("doc_id").alias("doc_id_h"),
+        F.col("sent_id").alias("sent_id_h"),
+        F.col("token_id").alias("join_id_h"),
+        F.col("term").alias("head_term"),
+    )
+    return deps.join(
+        heads,
+        (deps["doc_id"] == heads["doc_id_h"])
+        & (deps["sent_id"] == heads["sent_id_h"])
+        & (deps["join_id"] == heads["join_id_h"]),
+    ).select("doc_id", "sent_id", "head_term", "dep_term", "deprel")
+
+
+def dependency_sketch(
+    annotated: DataFrame,
+    term_stats: DataFrame,
+    lemma: str,
+    deprel: str,
+    min_logdice: float = 0.0,
+    limit: int = 20,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """CLI ``blacklab-query --lemma W --deprel R`` equivalent
+    (``Main.java:156-198`` → ``executeDependencyPattern``): dependents
+    of ``lemma`` via ``deprel``, logDice-ranked top-k.
+
+    Returns ``(dep_term, pair_freq, logdice)``.
+    """
+    pairs = dependency_pairs(annotated).filter(
+        (F.col("head_term") == lemma) & (F.col("deprel") == deprel))
+    grouped = pairs.groupBy("dep_term").agg(F.count("*").alias("pair_freq"))
+    head_cf = term_stats.filter(F.col("term") == lemma).select(
+        F.col("cf").alias("head_cf"))
+    scored = (
+        grouped.join(F.broadcast(term_stats.select(
+            F.col("term").alias("dep_term"), F.col("cf").alias("dep_cf"))),
+            "dep_term")
+        .crossJoin(F.broadcast(head_cf))
+        .withColumn("logdice", logdice_expr(
+            F.col("pair_freq").cast("double"),
+            F.col("head_cf").cast("double"),
+            F.col("dep_cf").cast("double")))
+        .filter(F.col("logdice") >= F.lit(min_logdice))
+    )
+    if round_dp is not None:
+        scored = scored.withColumn("logdice", F.round("logdice", round_dp))
+    return (
+        scored.select("dep_term", "pair_freq", "logdice")
+        .orderBy(F.desc("logdice"), F.asc("dep_term"))
+        .limit(limit)
+    )

@@ -79,6 +79,194 @@ GROUP BY term, doc_id
 """.strip()
 
 
+def _wclass_case(col: str) -> str:
+    """Word-class CASE expression — mirror of plans.relations.word_class_expr."""
+    from .plans.relations import WORD_CLASSES
+
+    by_class: dict[str, list[str]] = {}
+    for w, c in WORD_CLASSES.items():
+        by_class.setdefault(c, []).append(w)
+    whens = []
+    for cls in ("NOUN", "VERB", "ADJ", "DET"):
+        lst = ", ".join(f"'{w}'" for w in by_class[cls])
+        whens.append(f"WHEN {col} IN ({lst}) THEN '{cls}'")
+    return "CASE " + " ".join(whens) + " ELSE 'X' END"
+
+
+_LOGDICE = ("greatest(0.0, ln(2.0 * {fab} / ({fa} + {fb})) / ln(2) + 14.0)")
+
+
+def sql_bigram_counts(k: int = 20) -> str:
+    """J1 adjacency pairs → top-k counts (ties broken lexically)."""
+    return f"""
+WITH {TOKENS_CTE}
+SELECT a.term AS head_term, b.term AS colloc_term, count(*) AS pair_freq
+FROM tokens a JOIN tokens b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY a.term, b.term
+ORDER BY pair_freq DESC, head_term ASC, colloc_term ASC LIMIT {k}
+""".strip()
+
+
+def sql_colloc_logdice(head: str, min_gap: int = 1, max_gap: int = 2,
+                       k: int = 20) -> str:
+    """A1+A4+J4: logDice-ranked collocates of one head (unordered window)."""
+    return f"""
+WITH {TOKENS_CTE},
+cf AS (SELECT term, count(*) AS cf FROM tokens GROUP BY term),
+pairs AS (
+  SELECT b.term AS colloc_term, count(*) AS pair_freq
+  FROM tokens a JOIN tokens b
+    ON a.doc_id = b.doc_id
+   AND abs(b.pos - a.pos) BETWEEN {min_gap} AND {max_gap}
+  WHERE a.term = '{head}'
+  GROUP BY b.term),
+head AS (SELECT cf AS head_cf FROM cf WHERE term = '{head}')
+SELECT colloc_term, pair_freq,
+       round({_LOGDICE.format(fab="pair_freq", fa="head_cf", fb="c.cf")}, 4)
+         AS logdice,
+       round(pair_freq / CAST(head_cf AS DOUBLE), 4) AS rel_freq
+FROM pairs p JOIN cf c ON p.colloc_term = c.term CROSS JOIN head
+ORDER BY logdice DESC, colloc_term ASC LIMIT {k}
+""".strip()
+
+
+def sql_word_sketch(head: str, catalog, k_per_relation: int = 10) -> str:
+    """V1 fan-out: one UNION ALL branch per SURFACE relation, generated
+    from the same GrammarCatalog that drives the Spark plan."""
+    branches = []
+    wc_a = _wclass_case("a.term")
+    wc_b = _wclass_case("b.term")
+    for rel in catalog.surface():
+        gap = ("(b.pos - a.pos)" if rel.ordered else "abs(b.pos - a.pos)")
+        conds = [f"a.doc_id = b.doc_id",
+                 f"{gap} BETWEEN {rel.min_gap} AND {rel.max_gap}",
+                 f"a.term = '{head}'"]
+        if rel.head_class:
+            conds.append(f"{wc_a} = '{rel.head_class}'")
+        if rel.colloc_class:
+            conds.append(f"{wc_b} = '{rel.colloc_class}'")
+        branches.append(f"""
+(SELECT '{rel.id}' AS relation, colloc_term, pair_freq,
+       round({_LOGDICE.format(fab="pair_freq", fa="head_cf", fb="colloc_cf")}, 4)
+         AS logdice,
+       round(pair_freq / CAST(head_cf AS DOUBLE), 4) AS rel_freq
+ FROM (SELECT b.term AS colloc_term, count(*) AS pair_freq
+       FROM tokens a JOIN tokens b ON {' AND '.join(conds)}
+       GROUP BY b.term) p
+ JOIN (SELECT term, cf AS colloc_cf FROM cf) c ON p.colloc_term = c.term
+ CROSS JOIN (SELECT cf AS head_cf FROM cf WHERE term = '{head}') h
+ ORDER BY logdice DESC, colloc_term ASC LIMIT {k_per_relation})
+""".strip())
+        # ordered relations measure signed gap; unordered use abs
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH {TOKENS_CTE},
+cf AS (SELECT term, count(*) AS cf FROM tokens GROUP BY term)
+{union}
+""".strip()
+
+
+def sql_dependency_sketch(lemma: str, deprel: str, sent_len: int = 20,
+                          k: int = 20) -> str:
+    """J3: governor→dependent join on the stub annotation (SQL mirror of
+    operators.dependency.annotate_tokens)."""
+    wc = _wclass_case("term")
+    return f"""
+WITH {TOKENS_CTE},
+cf AS (SELECT term, count(*) AS cf FROM tokens GROUP BY term),
+ann AS (
+  SELECT doc_id,
+         CAST(pos // {sent_len} AS INT) AS sent_id,
+         CAST(pos % {sent_len} + 1 AS INT) AS token_id,
+         term,
+         CAST(pos % {sent_len} AS INT) AS head_id,
+         CASE WHEN {wc} = 'DET' THEN 'det'
+              WHEN {wc} = 'ADJ' THEN 'amod'
+              WHEN {wc} = 'NOUN' THEN 'nsubj'
+              WHEN {wc} = 'VERB' THEN 'conj'
+              ELSE 'dep' END AS deprel
+  FROM tokens),
+pairs AS (
+  SELECT d.term AS dep_term, count(*) AS pair_freq
+  FROM ann d JOIN ann h
+    ON d.doc_id = h.doc_id AND d.sent_id = h.sent_id
+   AND d.head_id = h.token_id
+  WHERE d.head_id > 0 AND h.term = '{lemma}' AND d.deprel = '{deprel}'
+  GROUP BY d.term)
+SELECT dep_term, pair_freq,
+       round({_LOGDICE.format(fab="pair_freq", fa="head_cf", fb="c.cf")}, 4)
+         AS logdice
+FROM pairs p JOIN cf c ON p.dep_term = c.term
+CROSS JOIN (SELECT cf AS head_cf FROM cf WHERE term = '{lemma}') h
+ORDER BY logdice DESC, dep_term ASC LIMIT {k}
+""".strip()
+
+
+def sql_multiseed_common(seeds: list[str], min_gap: int = 1, max_gap: int = 2,
+                         limit_per_seed: int = 50, min_shared: int = 2) -> str:
+    """SO1/A7/A8: per-seed top collocates → shared-count intersection."""
+    branches = []
+    for s in seeds:
+        branches.append(f"""
+(SELECT '{s}' AS seed, colloc_term, pair_freq,
+        round({_LOGDICE.format(fab="pair_freq", fa="head_cf", fb="colloc_cf")}, 4)
+          AS logdice
+ FROM (SELECT b.term AS colloc_term, count(*) AS pair_freq
+       FROM tokens a JOIN tokens b
+         ON a.doc_id = b.doc_id
+        AND abs(b.pos - a.pos) BETWEEN {min_gap} AND {max_gap}
+       WHERE a.term = '{s}' GROUP BY b.term) p
+ JOIN (SELECT term, cf AS colloc_cf FROM cf) c ON p.colloc_term = c.term
+ CROSS JOIN (SELECT cf AS head_cf FROM cf WHERE term = '{s}') h
+ ORDER BY logdice DESC, colloc_term ASC LIMIT {limit_per_seed})
+""".strip())
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH {TOKENS_CTE},
+cf AS (SELECT term, count(*) AS cf FROM tokens GROUP BY term),
+per_seed AS (
+{union}
+)
+SELECT colloc_term,
+       count(DISTINCT seed) AS shared_by,
+       sum(pair_freq) AS total_freq,
+       round(max(logdice), 4) AS max_logdice,
+       round(avg(logdice), 4) AS avg_logdice,
+       round(sum(logdice), 4) AS sum_logdice
+FROM per_seed GROUP BY colloc_term
+HAVING count(DISTINCT seed) >= {min_shared}
+""".strip()
+
+
+def sql_concordance(term: str, page_size: int = 10, context: int = 3) -> str:
+    """W2+W6+J5: paginated KWIC with token-sliced context windows."""
+    return f"""
+WITH dt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+tokens AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM dt),
+hits AS (
+  SELECT doc_id, pos,
+         row_number() OVER (ORDER BY doc_id, pos) AS rank
+  FROM tokens WHERE term = '{term}')
+SELECT rank, h.doc_id, pos,
+       array_to_string(toks[greatest(1, pos + 1 - {context}): pos], ' ')
+         AS left_ctx,
+       toks[pos + 1] AS kw,
+       array_to_string(toks[pos + 2: least(len(toks), pos + 1 + {context})], ' ')
+         AS right_ctx
+FROM hits h JOIN dt ON h.doc_id = dt.doc_id
+WHERE rank <= {page_size}
+ORDER BY rank
+""".strip()
+
+
 def sql_bm25_topk(terms: list[str], k: int = 10,
                   k1: float = K1, b: float = B) -> str:
     tl = _sql_terms_list(terms)

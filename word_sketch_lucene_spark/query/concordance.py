@@ -1,0 +1,85 @@
+"""Concordances / KWIC: hit pagination + forward-index context windows.
+
+Reference parity (SURVEY §3.3 — the ``POST /api/bcql`` trace):
+- hits → total count + page window ``hits.window(offset, offset+n)``
+  (W2, ``CollocateQueryHelper.java:305-362``)
+- context from the FORWARD INDEX, ±60 tokens default / ±5 for the CQL
+  endpoint (W6, ``CollocateQueryHelper.java:328-329``,
+  ``BlackLabQueryExecutor.java:159``)
+- doc-store join restricted by the hit set first (J5 broadcast
+  semi-join, ``CollocateQueryHelper.java:327-357``)
+- sentence dedup for example sets (SO3,
+  ``SemanticFieldExplorer.java:185-195``)
+
+Spark mapping: the page is a ``row_number`` window over the global hit
+order ``(doc_id, pos)``; the docstore join uses the paged hits (≤ page
+size rows → broadcast), then ``slice`` on the token array builds
+left/kw/right — no XML reparse because tokens stay structured end to
+end (obviating the reference's snippet parser, F3/F4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def find_hits(tokens: DataFrame, term: str) -> DataFrame:
+    """Single-term hit list ``(doc_id, pos)`` in global (doc, pos) order."""
+    return tokens.filter(F.col("term") == term).select("doc_id", "pos")
+
+
+def find_phrase_hits(tokens: DataFrame, phrase: list[str]) -> DataFrame:
+    """Phrase hits via chained adjacency joins (J1 compositions):
+    ``(doc_id, pos)`` of the first token of each exact-sequence match."""
+    if not phrase:
+        raise ValueError("empty phrase")
+    hits = tokens.filter(F.col("term") == phrase[0]).select("doc_id", "pos")
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = tokens.filter(F.col("term") == t).select(
+            F.col("doc_id").alias("d2"), F.col("pos").alias("p2"))
+        hits = hits.join(
+            nxt, (hits["doc_id"] == nxt["d2"]) & (nxt["p2"] == hits["pos"] + i)
+        ).select("doc_id", "pos")
+    return hits
+
+
+def concordance_page(
+    hits: DataFrame,
+    docstore: DataFrame,
+    offset: int = 0,
+    page_size: int = 20,
+    context: int = 5,
+    kw_len: int = 1,
+) -> DataFrame:
+    """One KWIC page: ``(rank, doc_id, pos, left, kw, right)``.
+
+    ``rank`` is the 1-based global hit rank (deterministic order
+    ``doc_id, pos``); the caller gets the total separately via
+    ``hits.count()`` — two actions, same as the reference's
+    ``hits.size()`` + window fetch.
+    """
+    w = Window.orderBy("doc_id", "pos")
+    page = (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") > offset) & (F.col("rank") <= offset + page_size))
+    )
+    ds = docstore.select("doc_id", "tokens")
+    joined = page.join(ds, "doc_id")
+    left_start = F.greatest(F.lit(1), F.col("pos") + 1 - context)
+    return joined.select(
+        "rank", "doc_id", "pos",
+        F.concat_ws(" ", F.slice(
+            "tokens", left_start, F.greatest(F.lit(0), F.col("pos") + 1 - left_start)
+        )).alias("left"),
+        F.concat_ws(" ", F.slice("tokens", F.col("pos") + 1, kw_len)).alias("kw"),
+        F.concat_ws(" ", F.slice("tokens", F.col("pos") + 1 + kw_len, context)
+                    ).alias("right"),
+    ).orderBy("rank")
+
+
+def dedup_examples(examples: DataFrame, text_col: str = "kw_context",
+                   max_examples: int = 10) -> DataFrame:
+    """SO3 sentence dedup: first occurrence per exact text, capped
+    (``SemanticFieldExplorer.java:185-195``)."""
+    return examples.dropDuplicates([text_col]).limit(max_examples)
