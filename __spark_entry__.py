@@ -30,6 +30,7 @@ from word_sketch_lucene_spark.operators.exploration import (
     seed_collocates,
 )
 from word_sketch_lucene_spark.operators.proximity import adjacent_pairs
+from word_sketch_lucene_spark.operators.textqc import FP_MOD, FP_MUL
 from word_sketch_lucene_spark.plans.relations import GrammarCatalog, word_sketch
 from word_sketch_lucene_spark.query.concordance import concordance_page, find_hits
 from word_sketch_lucene_spark.query.engine import bm25_topk_df
@@ -148,6 +149,92 @@ def q_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("right").alias("right_ctx"))
 
 
+# ---------------------------------------------- training-data pipeline ops
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content digest (hash-groupBy)."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.md5("text").alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper"))
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (inverted-shingle blocking)."""
+    from word_sketch_lucene_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.1,
+                               round_dp=4)
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from word_sketch_lucene_spark.operators.textqc import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from word_sketch_lucene_spark.operators.textqc import quality_features
+
+    return quality_features(_docs(spark, sf_dir), round_dp=4)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from word_sketch_lucene_spark.operators.textqc import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from word_sketch_lucene_spark.operators.textqc import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact ANN baseline)."""
+    from word_sketch_lucene_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return cosine_topk(emb, queries, k=10, round_dp=4)
+
+
+# rows-only checks (non-SQL-expressible: engine-specific hashing / LSH)
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from word_sketch_lucene_spark.operators.dedup import minhash_near_dups
+
+    return minhash_near_dups(_docs(spark, sf_dir), threshold=0.1,
+                             num_hashes=64, bands=16)
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from word_sketch_lucene_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=6)
+
+
+def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from word_sketch_lucene_spark.operators.similarity import lsh_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return lsh_cosine_topk(emb, queries, k=10, n_planes=6)
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic binary payloads → parsed metadata."""
+    from word_sketch_lucene_spark.operators.multimodal import (
+        extract_media_meta,
+        generate_media,
+    )
+
+    return extract_media_meta(generate_media(spark, 200, seed=3))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -167,6 +254,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dep_sketch": q_dep_sketch,
         "multiseed_common": q_multiseed_common,
         "concordance": q_concordance,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "token_counts": q_token_counts,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "cosine_topk": q_cosine_topk,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "media_meta": q_media_meta,
     }
 
 
@@ -184,4 +282,14 @@ def oracle_sql() -> dict[str, str]:
         "dep_sketch": osql.sql_dependency_sketch(SKETCH_HEAD, "nsubj"),
         "multiseed_common": osql.sql_multiseed_common(SEEDS, 1, 2, 50, 2),
         "concordance": osql.sql_concordance("spark", 10, 3),
+        "dedup_exact": osql.sql_exact_dup_groups(),
+        "ngram_jaccard": osql.sql_ngram_jaccard(3, 0.1),
+        "token_counts": osql.sql_token_counts(),
+        "quality": osql.sql_quality_features(),
+        "lang_id": osql.sql_lang_id(),
+        "fingerprints": osql.sql_fingerprints(FP_MUL, FP_MOD),
+        "cosine_topk": osql.sql_cosine_topk([0, 1, 2], k=10),
+        # minhash/simhash/lsh/media: engine-specific hashing & binary
+        # payloads — rows-only checks by design (driver records the
+        # weaker check; python oracles cover them in tests/)
     }

@@ -1,0 +1,100 @@
+"""Dedup operators: goldens on planted duplicates + python oracles."""
+
+import itertools
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from word_sketch_lucene_spark.operators.dedup import (
+    exact_dedup,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    word_shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " woof"  # J₃ ≈ 0.91 — solidly inside LSH recall range
+    far = "completely different content about spark shuffles and parquet files"
+    rows = [
+        (0, base), (1, base),          # exact dups
+        (2, near),                      # near dup of 0/1
+        (3, far), (4, far + " extra"),  # near dups of each other
+        (5, "tiny"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _jaccard_py(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    sa, sb = sh(a), sh(b)
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_duplicates(dup_docs):
+    groups = exact_duplicates(dup_docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2 and groups[0]["keeper"] == 0
+    assert groups[0]["dup_ids"] == [0, 1]
+
+
+def test_exact_dedup_keeps_one(dup_docs):
+    kept = exact_dedup(dup_docs)
+    assert kept.count() == 5
+    assert kept.filter(F.col("doc_id") == 1).count() == 0
+
+
+def test_ngram_jaccard_matches_python(dup_docs):
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(dup_docs, n=3, threshold=0.3).collect()}
+    texts = {r["doc_id"]: r["text"] for r in dup_docs.collect()}
+    expected = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        j = _jaccard_py(texts[a], texts[b])
+        if j >= 0.3:
+            expected[(a, b)] = j
+    assert set(got) == set(expected)
+    for k in got:
+        assert got[k] == pytest.approx(expected[k], rel=1e-12)
+
+
+def test_jaccard_exact_dup_is_one(dup_docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(dup_docs, threshold=0.99).collect()}
+    assert pairs[(0, 1)] == 1.0
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    cand = {(r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_candidates(dup_docs).collect()}
+    assert (0, 1) in cand          # exact dup always collides
+    assert (0, 2) in cand or (1, 2) in cand  # near dup should collide
+    verified = {(r["doc_a"], r["doc_b"])
+                for r in minhash_near_dups(dup_docs, threshold=0.5).collect()}
+    assert (0, 1) in verified
+    assert all(p in cand for p in verified)  # verify ⊆ candidates
+
+
+def test_simhash_near_dups(dup_docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_near_dups(dup_docs, max_hamming=8,
+                                        shingle_n=2).collect()}
+    assert pairs.get((0, 1)) == 0  # identical text → identical simhash
+    # near pair within budget; unrelated docs not both present with 0
+    assert (0, 5) not in pairs
+
+
+def test_shingles_distinct(spark):
+    df = spark.createDataFrame([(0, "a b a b a b")], ["doc_id", "text"])
+    sh = word_shingles(df, n=2).collect()
+    assert {r["shingle"] for r in sh} == {"a b", "b a"}

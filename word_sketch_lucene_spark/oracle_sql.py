@@ -267,6 +267,153 @@ ORDER BY rank
 """.strip()
 
 
+# ---------------------------------------------- training-data pipeline ops
+def sql_exact_dup_groups() -> str:
+    """Exact dedup: per-digest group stats (md5 is identical hex in both
+    engines)."""
+    return """
+SELECT md5(text) AS digest, count(*) AS n_dups, min(doc_id) AS keeper
+FROM documents GROUP BY md5(text)
+""".strip()
+
+
+def sql_ngram_jaccard(n: int = 3, threshold: float = 0.1) -> str:
+    """Exact n-gram Jaccard near-dup pairs via the inverted-shingle join."""
+    return f"""
+WITH dt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
+  FROM dt, unnest(range(1, len(toks) - {n - 2})) AS t(i)
+  WHERE len(toks) >= {n}),
+sizes AS (SELECT doc_id, count(*) AS size FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, shared, sa.size AS size_a, sb.size AS size_b,
+       round(shared * 1.0 / (sa.size + sb.size - shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE shared * 1.0 / (sa.size + sb.size - shared) >= {threshold}
+""".strip()
+
+
+def sql_token_counts() -> str:
+    return r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+         AS ws_tokens,
+       greatest(
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')),
+         CAST(ceil(length(text) / 4.0) AS INT)) AS subword_est
+FROM documents
+""".strip()
+
+
+def sql_quality_features() -> str:
+    """Mirror of operators.textqc.quality_features."""
+    stop = ", ".join(f"'{w}'" for w in
+                     ["the", "a", "and", "of", "to", "in", "is", "that",
+                      "it", "for"])
+    return rf"""
+WITH dt AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(toks) AS n_tokens,
+         (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+           * 1.0 / greatest(length(text), 1) AS punct_ratio,
+         len(list_filter(toks, t -> t IN ({stop})))
+           * 1.0 / greatest(len(toks), 1) AS stopword_ratio,
+         list_reduce(list_prepend(0, list_transform(toks, t -> length(t))),
+                     (a, b) -> a + b)
+           * 1.0 / greatest(len(toks), 1) AS mean_token_len
+  FROM dt)
+SELECT doc_id, n_chars, n_tokens,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(stopword_ratio, 4) AS stopword_ratio,
+       round(mean_token_len, 4) AS mean_token_len,
+       round(least(n_tokens / 100.0, 1.0) * 0.4
+             + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+             + CASE WHEN mean_token_len >= 3 AND mean_token_len <= 8
+                    THEN 0.3 ELSE 0.1 END, 4) AS quality
+FROM feat
+""".strip()
+
+
+def sql_lang_id() -> str:
+    """Mirror of textqc.lang_id: max marker count, earliest-language tie-break."""
+    from .operators.textqc import LANG_MARKERS
+
+    counts = []
+    for lang in sorted(LANG_MARKERS):
+        lst = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        counts.append(f"len(list_filter(toks, t -> t IN ({lst}))) AS c_{lang}")
+    langs = sorted(LANG_MARKERS)
+    mx = "greatest(" + ", ".join(f"c_{l}" for l in langs) + ")"
+    pick = " ".join(f"WHEN c_{l} = {mx} THEN '{l}'" for l in langs)
+    return f"""
+WITH dt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+scored AS (SELECT doc_id, {', '.join(counts)} FROM dt)
+SELECT doc_id,
+       CASE WHEN {mx} = 0 THEN 'und' ELSE (CASE {pick} END) END AS lang_pred
+FROM scored
+""".strip()
+
+
+def sql_fingerprints(mul: int, mod: int) -> str:
+    """Mirror of textqc.fingerprint_expr (left fold over token stream)."""
+    return f"""
+WITH dt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(toks,
+                        t -> CAST(length(t) * 131 + ascii(substr(t, 1, 1))
+                                  AS BIGINT))),
+         (acc, v) -> (acc * {mul} + v) % {mod}) AS fingerprint
+FROM dt
+""".strip()
+
+
+def sql_cosine_topk(query_ids: list[int], k: int = 10) -> str:
+    """Brute-force cosine top-k; float64 math, rounded ordering key."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 4)
+           AS cosine
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+""".strip()
+
+
 def sql_bm25_topk(terms: list[str], k: int = 10,
                   k1: float = K1, b: float = B) -> str:
     tl = _sql_terms_list(terms)

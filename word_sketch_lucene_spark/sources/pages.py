@@ -65,11 +65,13 @@ _VOCAB = np.array([f"t{i}" for i in range(VOCAB_SIZE)], dtype=object)
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """Counter-based 64-bit mixer (public splitmix64 constants) — a
-    deterministic, partitioning-independent PRNG vectorized over numpy."""
-    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    return x ^ (x >> np.uint64(31))
+    deterministic, partitioning-independent PRNG vectorized over numpy.
+    Wraparound is the algorithm; mask numpy's overflow warnings."""
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        return x ^ (x >> np.uint64(31))
 
 
 def _uniform01(keys: np.ndarray) -> np.ndarray:
