@@ -1,0 +1,55 @@
+"""spark-submit entry point: query a built index (BM25 top-k / phrase).
+
+    spark-submit --py-files dist/word_sketch_lucene_spark.zip \
+        scripts/query_index_cli.py --index /path/idx --query "spark join" -k 10
+    python scripts/query_index_cli.py --index /tmp/idx --phrase "t0 t1"
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="Query a BM25 inverted index")
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", help="free-text OR query")
+    ap.add_argument("--phrase", help="exact-sequence phrase query")
+    ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("--mode", default="auto",
+                    choices=["auto", "bmw", "wand", "vec", "daat"])
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+    if not args.query and not args.phrase:
+        ap.error("one of --query / --phrase required")
+
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+    from word_sketch_lucene_spark.session import get_spark
+
+    spark = get_spark("query-index", master=args.master)
+    s = IndexSearcher(spark, args.index)
+    t0 = time.perf_counter()
+    if args.query:
+        hits, st = s.search(args.query, k=args.k, mode=args.mode)
+        out = {"query": args.query, "mode": args.mode,
+               "hits": [{"doc_id": d, "score": round(sc, 6)} for d, sc in hits],
+               "decoded_blocks": st["decoded_blocks"],
+               "total_blocks": st["total_blocks"]}
+    else:
+        matches = s.phrase_hits(args.phrase)
+        out = {"phrase": args.phrase,
+               "hits": [{"doc_id": d, "positions": p} for d, p in matches[:args.k]],
+               "total_docs": len(matches)}
+    out["latency_ms"] = round(1000 * (time.perf_counter() - t0), 1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

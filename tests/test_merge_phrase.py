@@ -1,0 +1,129 @@
+"""LSM merge, incremental indexing, and positional phrase search."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from word_sketch_lucene_spark.index.build import build_index
+from word_sketch_lucene_spark.index.merge import (
+    add_documents,
+    compact_if_needed,
+    decode_segments_to_tokens,
+    merge_indexes,
+)
+from word_sketch_lucene_spark.query.bm25 import BM25Oracle
+from word_sketch_lucene_spark.query.engine import IndexSearcher
+from word_sketch_lucene_spark.sources.pages import generate_pages
+
+
+@pytest.fixture(scope="module")
+def split_corpus(spark):
+    pages = generate_pages(spark, 300, seed=21).cache()
+    a = pages.filter(F.col("doc_id") < 150)
+    b = pages.filter(F.col("doc_id") >= 150)
+    pdf = pages.select("doc_id", "text").toPandas()
+    oracle = BM25Oracle.from_texts(dict(zip(pdf["doc_id"], pdf["text"])))
+    return pages, a, b, oracle
+
+
+def test_decode_inverts_encode(spark, split_corpus, tmp_path):
+    pages, a, _, _ = split_corpus
+    root = tmp_path / "idx"
+    build_index(spark, a, root, doc_salt=2, n_partitions=4)
+    toks = decode_segments_to_tokens(
+        spark.read.parquet(str(root / "segments")))
+    from word_sketch_lucene_spark.functions.tokenize import explode_tokens
+
+    expected = explode_tokens(a, with_dl=True).orderBy(
+        "term", "doc_id", "pos").toPandas()
+    got = toks.orderBy("term", "doc_id", "pos").toPandas()
+    assert len(got) == len(expected)
+    assert (got["term"].to_numpy() == expected["term"].to_numpy()).all()
+    assert (got["doc_id"].to_numpy() == expected["doc_id"].to_numpy()).all()
+    assert (got["pos"].to_numpy() == expected["pos"].to_numpy()).all()
+    assert (got["dl"].to_numpy() == expected["dl"].to_numpy()).all()
+
+
+def test_merged_index_rank_identical_to_full_build(spark, split_corpus, tmp_path):
+    """Index(A) ⊔ Index(B) merged must answer like Index(A∪B)."""
+    _, a, b, oracle = split_corpus
+    ra, rb, rm = tmp_path / "a", tmp_path / "b", tmp_path / "m"
+    build_index(spark, a, ra, doc_salt=2, n_partitions=4)
+    build_index(spark, b, rb, doc_salt=2, n_partitions=4)
+    stats = merge_indexes(spark, [ra, rb], rm, doc_salt=2, n_partitions=4)
+    assert stats["n_docs"] == oracle.n_docs
+    assert stats["avgdl"] == pytest.approx(oracle.avgdl, rel=1e-12)
+    s = IndexSearcher(spark, rm)
+    for q in (["t0"], ["t3", "t17"], ["rare42", "t1"]):
+        expected = oracle.topk(q, k=10)
+        got, _ = s.search(q, k=10, mode="auto")
+        assert [d for d, _ in got] == [d for d, _ in expected], q
+        for (d1, s1), (d2, s2) in zip(got, expected):
+            assert s1 == pytest.approx(s2, abs=1e-12)
+
+
+def test_merge_is_resumable(spark, split_corpus, tmp_path):
+    _, a, b, _ = split_corpus
+    ra, rb, rm = tmp_path / "a", tmp_path / "b", tmp_path / "m"
+    build_index(spark, a, ra, doc_salt=2, n_partitions=4)
+    build_index(spark, b, rb, doc_salt=2, n_partitions=4)
+    merge_indexes(spark, [ra, rb], rm)
+    m1 = json.loads((rm / "_manifest.json").read_text())
+    merge_indexes(spark, [ra, rb], rm)
+    m2 = json.loads((rm / "_manifest.json").read_text())
+    assert m1["committed_at"] == m2["committed_at"]
+
+
+def test_add_documents_incremental(spark, split_corpus, tmp_path):
+    _, a, b, oracle = split_corpus
+    base = tmp_path / "base"
+    build_index(spark, a, base, doc_salt=2, n_partitions=4)
+    merged = add_documents(spark, base, b, tmp_path / "staging",
+                           doc_salt=2, n_partitions=4)
+    s = IndexSearcher(spark, merged)
+    expected = oracle.topk(["t0", "t5"], k=10)
+    got, _ = s.search(["t0", "t5"], k=10)
+    assert [d for d, _ in got] == [d for d, _ in expected]
+
+
+def test_compact_policy(spark, split_corpus, tmp_path):
+    pages, a, b, _ = split_corpus
+    roots = []
+    for i in range(3):
+        r = tmp_path / f"d{i}"
+        build_index(spark, pages.filter(F.col("doc_id") % 3 == i), r,
+                    doc_salt=2, n_partitions=4)
+        roots.append(r)
+    live = compact_if_needed(spark, roots, tmp_path / "c", max_live=4)
+    assert live == [*map(str, roots)] or live == roots  # under threshold: untouched
+    live = compact_if_needed(spark, roots, tmp_path / "c", max_live=2)
+    assert len(live) == 1
+    s = IndexSearcher(spark, live[0])
+    assert s.stats["n_docs"] == 300
+
+
+def test_phrase_hits_match_oracle(spark, split_corpus, tmp_path):
+    pages, _, _, oracle = split_corpus
+    root = tmp_path / "full"
+    build_index(spark, pages, root, doc_salt=2, n_partitions=4)
+    s = IndexSearcher(spark, root)
+
+    def brute(phrase):
+        hits = {}
+        for d in range(oracle.n_docs):
+            pos0 = oracle.positions.get(phrase[0], {}).get(d, [])
+            matches = []
+            for p in pos0:
+                if all((p + i) in set(oracle.positions.get(t, {}).get(d, []))
+                       for i, t in enumerate(phrase)):
+                    matches.append(p)
+            if matches:
+                hits[d] = matches
+        return hits
+
+    for phrase in (["t0", "t1"], ["t0", "t0"], ["t1", "t2", "t0"]):
+        expected = brute(phrase)
+        got = dict(s.phrase_hits(phrase))
+        assert got == expected, phrase
+    assert s.phrase_hits(["nonexistent123", "t0"]) == []

@@ -150,6 +150,61 @@ class IndexSearcher:
                 cursors.append(BlockCursor(blocks, ti, idf, self.k1, self.b, avgdl))
         return cursors, dfs
 
+    def _postings_with_positions(self, term: str) -> dict[int, "object"]:
+        """doc_id → ascending positions array, merged across segments.
+
+        A separate pruned scan fetches ``pos_vb`` only here — BM25
+        queries never read the positions column (column pruning)."""
+        import numpy as np
+
+        from ..functions.codec import decode_positions, vbyte_decode
+
+        rows = (
+            self.segments.filter(F.col("term") == term)
+            .select("n", "first_doc", "docs_vb", "pos_vb")
+            .collect()
+        )
+        out: dict[int, object] = {}
+        for r in rows:
+            gaps = vbyte_decode(bytes(r["docs_vb"])).astype(np.int64)
+            docs = np.cumsum(gaps) + r["first_doc"]
+            pls = decode_positions(bytes(r["pos_vb"]), int(r["n"]))
+            for d, pl in zip(docs, pls):
+                out[int(d)] = pl
+        return out
+
+    def phrase_hits(self, phrase: str | list[str]
+                    ) -> list[tuple[int, list[int]]]:
+        """Exact-sequence matches from the positional index: the Lucene
+        ``SpanNear(slop=0, inOrder=true)`` analog (SURVEY §2.3 J1) run
+        doc-at-a-time over decoded position lists.
+
+        Returns ``[(doc_id, [start positions])]`` ordered by doc_id.
+        """
+        import numpy as np
+
+        terms = tokenize_py(phrase) if isinstance(phrase, str) else list(phrase)
+        if not terms:
+            return []
+        per_term = [self._postings_with_positions(t) for t in terms]
+        if any(not p for p in per_term):
+            return []
+        # docs containing every term, rarest-first intersection
+        cand = set(per_term[0])
+        for p in per_term[1:]:
+            cand &= set(p)
+        out = []
+        for d in sorted(cand):
+            starts = np.asarray(per_term[0][d], dtype=np.int64)
+            for i, p in enumerate(per_term[1:], start=1):
+                nxt = np.asarray(p[d], dtype=np.int64)
+                starts = starts[np.isin(starts + i, nxt)]
+                if starts.size == 0:
+                    break
+            if starts.size:
+                out.append((d, starts.tolist()))
+        return out
+
     def search(self, query: str | list[str], k: int = 10, mode: str = "auto"
                ) -> tuple[list[tuple[int, float]], dict]:
         """Top-k ``(doc_id, score)`` for a free-text query or term list.

@@ -1,0 +1,107 @@
+"""CoNLL-U source: annotated-corpus scan → token table.
+
+Reference parity (S1/S2/S6, SURVEY §2.1): the reference streams
+CoNLL-U, skipping ``#`` comments, treating blank lines as sentence
+boundaries, and dropping multi-word-token (``1-2``) and empty-node
+(``1.1``) lines (``indexer/blacklab/ConlluConverter.java:47-124``;
+``scripts/conllu_to_wpl.py:42-92``); chunk rotation every 10k
+sentences bounds memory (``ConlluConverter.java:132-143``,
+``Main.java:133``).
+
+Spark mapping: ``spark.read.text`` → Arrow-batched line parser
+(``mapInPandas``) carrying sentence state per *file partition* (CoNLL-U
+is line-oriented; we read one file per task via ``wholetext`` to keep
+sentence boundaries intact — at crawl scale, files are the natural
+split unit exactly like the reference's chunk files). The "chunk sink"
+is ``repartition(n).write.parquet`` — Spark files are the chunks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CONLLU_SCHEMA = ("doc_id string, sent_id long, token_id int, word string, "
+                 "lemma string, upos string, xpos string, head int, "
+                 "deprel string")
+
+
+def parse_conllu_text(doc_id: str, text: str, sent_offset: int = 0):
+    """Pure parser: one CoNLL-U document → token tuples.
+
+    Skips comments/MWT/empty-nodes exactly like the reference
+    (``ConlluConverter.java:74-96``): blank line = sentence boundary.
+    """
+    rows = []
+    sent_id = sent_offset
+    in_sentence = False
+    for line in text.splitlines():
+        line = line.strip("\r")
+        if not line.strip():
+            if in_sentence:
+                sent_id += 1
+                in_sentence = False
+            continue
+        if line.startswith("#"):
+            continue
+        cols = line.split("\t")
+        if len(cols) < 8:
+            continue
+        tid = cols[0]
+        if "-" in tid or "." in tid:  # MWT range / empty node
+            continue
+        try:
+            token_id = int(tid)
+            head = int(cols[6]) if cols[6] not in ("_", "") else 0
+        except ValueError:
+            continue
+        in_sentence = True
+        rows.append((doc_id, sent_id, token_id, cols[1], cols[2],
+                     cols[3], cols[4], head, cols[7]))
+    return rows
+
+
+def read_conllu(spark: SparkSession, path: str) -> DataFrame:
+    """Directory/glob of ``.conllu`` files → annotated token DataFrame.
+
+    One file per row via ``wholetext`` (sentence state never crosses a
+    task boundary), parsed in Arrow batches.
+    """
+    files = spark.read.text(path, wholetext=True).withColumn(
+        "file", F.input_file_name())
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "sent_id", "token_id", "word", "lemma",
+                "upos", "xpos", "head", "deprel"]
+        for pdf in batches:
+            out = []
+            for file, value in zip(pdf["file"], pdf["value"]):
+                out.extend(parse_conllu_text(file.rsplit("/", 1)[-1], value))
+            yield pd.DataFrame(out, columns=cols)
+
+    return files.select("file", "value").mapInPandas(parse, CONLLU_SCHEMA)
+
+
+def conllu_boilerplate_filter(tokens: DataFrame, prefixes: tuple[str, ...],
+                              text_col: str = "word") -> DataFrame:
+    """S6 record-level filter: drop whole *sentences* whose first word
+    starts a boilerplate prefix (``filter_conllu_boilerplate.py:70-150``
+    drops sentences by their ``# text =`` prefix; structurally we key on
+    the sentence's first token)."""
+    first = tokens.filter(F.col("token_id") == 1)
+    cond = None
+    for p in prefixes:
+        c = F.col(text_col).startswith(p)
+        cond = c if cond is None else (cond | c)
+    bad = first.filter(cond).select("doc_id", "sent_id").distinct()
+    return tokens.join(bad, ["doc_id", "sent_id"], "left_anti")
+
+
+def write_chunks(tokens: DataFrame, out_dir: str, n_chunks: int) -> None:
+    """S2 chunk sink: the reference rotates files every 10k sentences
+    (``ConlluConverter.java:132-143``); Spark's output files ARE the
+    chunks — one per partition."""
+    tokens.repartition(n_chunks).write.mode("overwrite").parquet(out_dir)
