@@ -235,6 +235,35 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_meta(generate_media(spark, 200, seed=3))
 
 
+def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEGMENT-INDEX path (build → block-max WAND) checked against
+    the SAME SQL oracle as the DataFrame path: proves the compressed
+    index + kernel reproduce first-principles BM25 end to end.
+
+    The index builds into a per-sf cache dir; stage manifests make
+    re-runs no-ops.
+    """
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from word_sketch_lucene_spark.index.build import build_index
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    root = Path(tempfile.gettempdir()) / f"wsl_contract_idx_{tag}"
+    docs = _docs(spark, sf_dir)
+    build_index(spark, docs, root, store_docstore=False,
+                input_paths=[f"{sf_dir}/documents.parquet"])
+    searcher = IndexSearcher(spark, root)
+    hits, _ = searcher.search(FLAGSHIP_TERMS, k=30, mode="auto")
+    # adopt the oracle's rounded ordering contract before the cutoff
+    rows = sorted(((d, round(s, 4)) for d, s in hits),
+                  key=lambda x: (-x[1], x[0]))[:10]
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in rows], "doc_id long, score double")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -243,6 +272,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
+        "bm25_index_topk": q_bm25_index_topk,
         "term_stats": q_term_stats,
         "corpus_stats": q_corpus_stats,
         "doc_lengths": q_doc_lengths,
@@ -271,6 +301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": osql.sql_bm25_topk(FLAGSHIP_TERMS, k=10),
+        "bm25_index_topk": osql.sql_bm25_topk(FLAGSHIP_TERMS, k=10),
         "term_stats": osql.sql_term_stats(),
         "corpus_stats": osql.sql_corpus_stats(),
         "doc_lengths": osql.sql_doc_lengths(),

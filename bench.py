@@ -30,7 +30,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "72000"))
+SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "48000"))
 
 
 def _sf_from_dir(d: str) -> float:
@@ -123,7 +123,7 @@ def bench_queries(spark, index_root) -> dict:
             "block_decode_ratio": round(decoded / max(total, 1), 3)}
 
 
-def _scale_run(cores: int, nparts: int, pages_dir: str, reps: int = 2) -> dict:
+def _scale_run(cores: int, nparts: int, pages_dir: str, reps: int = 3) -> dict:
     """One scaling level in its own subprocess (fresh JVM per level, no
     state leaks between levels). Inside: one untimed warmup build (JIT +
     python-worker warm, as on a long-lived cluster executor), then

@@ -1,0 +1,73 @@
+"""Physical-plan quality gates: the optimizations we rely on at 100 TB
+must be visible in `.explain` output, not assumed.
+
+- term filters reach the parquet scan (PushedFilters) — the term-
+  dictionary-seek analog;
+- BM25 segment reads prune the positions column (ReadSchema);
+- small stats joins broadcast;
+- orderBy().limit() fuses into TakeOrderedAndProject (bounded heap);
+- hot paths run inside WholeStageCodegen.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from word_sketch_lucene_spark.functions.tokenize import explode_tokens
+from word_sketch_lucene_spark.index.stats import term_stats
+from word_sketch_lucene_spark.query.engine import bm25_topk_df
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution
+        .ExplainMode.fromString("formatted"))
+
+
+def test_term_filter_pushed_to_segment_scan(spark, index_small):
+    seg = spark.read.parquet(str(index_small / "segments"))
+    q = seg.filter(F.col("term").isin(["spark", "join"])).select(
+        "term", "first_doc", "docs_vb")
+    plan = _formatted(q)
+    assert "PushedFilters" in plan and "In(term" in plan.replace(" ", "")
+
+
+def test_bm25_scan_prunes_positions_column(spark, index_small):
+    seg = spark.read.parquet(str(index_small / "segments"))
+    q = seg.filter(F.col("term") == "spark").select(
+        "term", "first_doc", "docs_vb", "tfs_vb", "dls_vb")
+    plan = _formatted(q)
+    # ReadSchema must NOT include the positions blob
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "pos_vb" not in read_schema[0]
+
+
+def test_bm25_topk_uses_bounded_heap(spark, docs_small):
+    plan = _plan(bm25_topk_df(docs_small, ["spark", "join"], k=10))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_query_term_stats_join_broadcasts(spark, docs_small):
+    plan = _plan(bm25_topk_df(docs_small, ["spark", "join"], k=10))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_term_stats_has_mapside_partial_agg(spark, docs_small):
+    """Head-term skew defense: partial (map-side) aggregation must
+    collapse hot terms before the shuffle."""
+    plan = _plan(term_stats(explode_tokens(docs_small)))
+    assert "partial_count" in plan        # map-side combine present
+    assert plan.count("Exchange") <= 2    # distinct-expand + final, no extra
+    # tokenization runs inside the scan stage, not a separate python stage
+    assert "posexplode" in plan and "FileScan parquet" in plan
+
+
+def test_adjacency_join_is_hash_join_on_both_keys(spark, docs_small):
+    from word_sketch_lucene_spark.operators.proximity import adjacent_pairs
+
+    plan = _plan(adjacent_pairs(explode_tokens(docs_small)))
+    # equality on doc_id AND pos+1 → a hash join, not BroadcastNestedLoop
+    assert "NestedLoop" not in plan

@@ -161,8 +161,11 @@ def build_index(
         st_stats = StageManifest(paths.doc_lens, "doc_lens")
         if st_stats.is_complete(inputs_fp, cfg_fp):
             return
+        # dl is a per-row column of the tokens stage, so doc_lens is a
+        # pushed-down FILTER (pos == 0 → one row per non-empty doc) —
+        # no shuffle, no aggregation.
         (
-            tokens.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+            tokens.filter(F.col("pos") == 0).select("doc_id", "dl")
             .write.mode("overwrite").parquet(str(paths.doc_lens))
         )
         dl = spark.read.parquet(str(paths.doc_lens))
