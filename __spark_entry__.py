@@ -235,6 +235,33 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_meta(generate_media(spark, 200, seed=3))
 
 
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 collocate profile comparison (variance, commonality,
+    distinctiveness) across the seed set."""
+    from word_sketch_lucene_spark.operators.exploration import profile_stats
+
+    toks = explode_tokens(_docs(spark, sf_dir))
+    per_seed = seed_collocates(toks, term_stats(toks), SEEDS,
+                               limit_per_seed=50, min_gap=1, max_gap=2,
+                               ordered=False, round_dp=4)
+    return profile_stats(per_seed, n_seeds=len(SEEDS), round_dp=4)
+
+
+def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window demo on the generic events table: top-3 events per
+    user by value (W-class row_number capability)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", "event_type",
+                F.round("value", 4).alias("value"), "rk")
+    )
+
+
 def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SEGMENT-INDEX path (build → block-max WAND) checked against
     the SAME SQL oracle as the DataFrame path: proves the compressed
@@ -283,6 +310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_sketch": q_word_sketch,
         "dep_sketch": q_dep_sketch,
         "multiseed_common": q_multiseed_common,
+        "profile_stats": q_profile_stats,
+        "topk_events_per_user": q_topk_events_per_user,
         "concordance": q_concordance,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -312,6 +341,8 @@ def oracle_sql() -> dict[str, str]:
         "word_sketch": osql.sql_word_sketch(SKETCH_HEAD, GrammarCatalog.load(), 10),
         "dep_sketch": osql.sql_dependency_sketch(SKETCH_HEAD, "nsubj"),
         "multiseed_common": osql.sql_multiseed_common(SEEDS, 1, 2, 50, 2),
+        "profile_stats": osql.sql_profile_stats(SEEDS, 1, 2, 50),
+        "topk_events_per_user": osql.sql_topk_events_per_user(3),
         "concordance": osql.sql_concordance("spark", 10, 3),
         "dedup_exact": osql.sql_exact_dup_groups(),
         "ngram_jaccard": osql.sql_ngram_jaccard(3, 0.1),

@@ -267,6 +267,63 @@ ORDER BY rank
 """.strip()
 
 
+def sql_profile_stats(seeds: list[str], min_gap: int = 1, max_gap: int = 2,
+                      limit_per_seed: int = 50) -> str:
+    """A9 profile statistics over the per-seed collocate table."""
+    branches = []
+    for s in seeds:
+        branches.append(f"""
+(SELECT '{s}' AS seed, colloc_term, pair_freq,
+        round({_LOGDICE.format(fab="pair_freq", fa="head_cf", fb="colloc_cf")}, 4)
+          AS logdice
+ FROM (SELECT b.term AS colloc_term, count(*) AS pair_freq
+       FROM tokens a JOIN tokens b
+         ON a.doc_id = b.doc_id
+        AND abs(b.pos - a.pos) BETWEEN {min_gap} AND {max_gap}
+       WHERE a.term = '{s}' GROUP BY b.term) p
+ JOIN (SELECT term, cf AS colloc_cf FROM cf) c ON p.colloc_term = c.term
+ CROSS JOIN (SELECT cf AS head_cf FROM cf WHERE term = '{s}') h
+ ORDER BY logdice DESC, colloc_term ASC LIMIT {limit_per_seed})
+""".strip())
+    union = "\nUNION ALL\n".join(branches)
+    n = len(seeds)
+    return f"""
+WITH {TOKENS_CTE},
+cf AS (SELECT term, count(*) AS cf FROM tokens GROUP BY term),
+per_seed AS (
+{union}
+),
+agg AS (
+  SELECT colloc_term,
+         count(DISTINCT seed) AS present_in,
+         avg(logdice) AS avg_logdice,
+         max(logdice) AS max_logdice,
+         min(logdice) AS min_logdice,
+         var_pop(logdice) AS var_logdice
+  FROM per_seed GROUP BY colloc_term)
+SELECT colloc_term, present_in,
+       round(avg_logdice, 4) AS avg_logdice,
+       round(max_logdice, 4) AS max_logdice,
+       round(min_logdice, 4) AS min_logdice,
+       round(var_logdice, 4) AS var_logdice,
+       round(present_in * avg_logdice, 4) AS commonality,
+       round(max_logdice * (1.0 - present_in / {float(n)})
+             + sqrt(var_logdice), 4) AS distinctiveness
+FROM agg
+""".strip()
+
+
+def sql_topk_events_per_user(k: int = 3) -> str:
+    return f"""
+SELECT user_id, event_id, event_type, round(value, 4) AS value, rk
+FROM (SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id ASC) AS rk
+      FROM events)
+WHERE rk <= {k}
+""".strip()
+
+
 # ---------------------------------------------- training-data pipeline ops
 def sql_exact_dup_groups() -> str:
     """Exact dedup: per-digest group stats (md5 is identical hex in both
