@@ -57,12 +57,23 @@ def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: collection stats (N, total tokens, avgdl) for BM25."""
+    """A3: collection stats (N, total tokens, avgdl) for BM25.
+
+    avgdl is computed as half-up integer division at 4 dp scale
+    (``(total·2e4 + n) div (2n) / 1e4``) so the value is bit-identical
+    across engines — ``avg()`` + ``round()`` of doubles can land on a
+    .00005 boundary where Spark (HALF_UP on shortest-repr) and DuckDB
+    (half-away on the scaled double) disagree.
+    """
     dl = doc_lengths(explode_tokens(_docs(spark, sf_dir)))
-    return dl.agg(
+    agg = dl.agg(
         F.count("*").alias("n_docs"),
         F.sum("dl").alias("total_tokens"),
-        F.round(F.avg("dl"), 4).alias("avgdl"),
+    )
+    return agg.select(
+        "n_docs", "total_tokens",
+        (F.expr("(total_tokens * 20000 + n_docs) div (2 * n_docs)")
+         / F.lit(10000.0)).alias("avgdl"),
     )
 
 
@@ -161,11 +172,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (inverted-shingle blocking)."""
+    """Exact n-gram Jaccard near-dup pairs (inverted-shingle blocking,
+    hot-shingle df cap — the web-scale quadratic guard)."""
     from word_sketch_lucene_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.1,
-                               round_dp=4)
+                               round_dp=4, max_shingle_df=100)
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,7 +219,7 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from word_sketch_lucene_spark.operators.dedup import minhash_near_dups
 
     return minhash_near_dups(_docs(spark, sf_dir), threshold=0.1,
-                             num_hashes=64, bands=16)
+                             num_hashes=64, bands=16, max_shingle_df=100)
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,7 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_events_per_user": osql.sql_topk_events_per_user(3),
         "concordance": osql.sql_concordance("spark", 10, 3),
         "dedup_exact": osql.sql_exact_dup_groups(),
-        "ngram_jaccard": osql.sql_ngram_jaccard(3, 0.1),
+        "ngram_jaccard": osql.sql_ngram_jaccard(3, 0.1, max_shingle_df=100),
         "token_counts": osql.sql_token_counts(),
         "quality": osql.sql_quality_features(),
         "lang_id": osql.sql_lang_id(),

@@ -26,9 +26,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype.kind == "f":
-            df[c] = df[c].round(4)
-        # unify int widths
+        # unify int widths (incl. DuckDB HUGEINT arriving as object/float)
         if df[c].dtype.kind in "iu":
             df[c] = df[c].astype("int64")
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
@@ -61,8 +59,10 @@ def main(sf_dir: str) -> int:
         if not status:
             a, b = normalize(sdf), normalize(odf)
             try:
+                # exact — the driver hashes raw values, so a 1-ulp float
+                # disagreement is a real failure, not noise
                 pd.testing.assert_frame_equal(a, b, check_dtype=False,
-                                              check_exact=False, atol=1e-4)
+                                              check_exact=True)
             except AssertionError as e:
                 status.append("VALUES differ")
                 print(f"FAIL {name}: {str(e)[:300]}")

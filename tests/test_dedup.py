@@ -98,3 +98,37 @@ def test_shingles_distinct(spark):
     df = spark.createDataFrame([(0, "a b a b a b")], ["doc_id", "text"])
     sh = word_shingles(df, n=2).collect()
     assert {r["shingle"] for r in sh} == {"a b", "b a"}
+
+
+def test_minhash_verify_is_candidate_only(docs_small, docs_small_pd):
+    """Pin the two-phase contract on real data: verified pairs ==
+    {LSH candidates with true python-computed Jaccard >= threshold},
+    with exact jaccard values — proving the verify phase computes true
+    Jaccard per candidate (never a corpus-wide pair join)."""
+    thr = 0.1
+    cand = {(r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_candidates(docs_small).collect()}
+    texts = dict(zip(docs_small_pd["doc_id"], docs_small_pd["text"]))
+    expected = {}
+    for a, b in cand:
+        j = _jaccard_py(texts[a], texts[b])
+        if j >= thr:
+            expected[(a, b)] = j
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in minhash_near_dups(docs_small, threshold=thr).collect()}
+    assert set(got) == set(expected)
+    for k in got:
+        assert got[k] == pytest.approx(expected[k], rel=1e-12)
+
+
+def test_shingle_df_cap_drops_hot_shingles(spark):
+    """With a df cap, pairs connected only by a boilerplate shingle
+    disappear; sizes are computed post-cap so Jaccard stays consistent."""
+    boiler = "all rights reserved contact us here"
+    rows = [(i, f"unique page {i} body text {i * 7} " + boiler)
+            for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.01)
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.01, max_shingle_df=3)
+    assert uncapped.count() == 15  # all pairs share the boilerplate run
+    assert capped.count() == 0     # hot shingles (df=6 > 3) are dropped

@@ -80,16 +80,37 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
     )
 
 
+def _capped_shingles(docs: DataFrame, n: int, text_col: str, id_col: str,
+                     max_shingle_df: int | None) -> DataFrame:
+    """Shingle table with the hot-shingle document-frequency cap.
+
+    A boilerplate shingle shared by 10⁶ docs creates ~10¹² candidate
+    pairs in any shingle-keyed self-join; shingles with df > cap carry
+    ~no Jaccard information, so dropping them is the standard blocking
+    approximation (Jaccard is then defined over informative shingles —
+    sizes are computed AFTER the cap so the metric stays consistent).
+    """
+    sh = word_shingles(docs, n, text_col, id_col)
+    if max_shingle_df is None:
+        return sh
+    sdf = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    return (sh.join(sdf.filter(F.col("sdf") <= max_shingle_df), "shingle")
+            .select("doc_id", "shingle"))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
                         text_col: str = "text", id_col: str = "doc_id",
-                        round_dp: int | None = None) -> DataFrame:
+                        round_dp: int | None = None,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Exact Jaccard near-dup pairs via the inverted-shingle join.
 
     ``(doc_a, doc_b, shared, size_a, size_b, jaccard)`` with
     ``doc_a < doc_b``; the shingle self-join IS the blocking step —
-    pairs sharing no shingle are never materialized.
+    pairs sharing no shingle are never materialized. ``max_shingle_df``
+    drops shingles hotter than the cap before the self-join (the
+    quadratic-per-posting-list guard; at web scale set it to O(100)).
     """
-    sh = word_shingles(docs, n, text_col, id_col)
+    sh = _capped_shingles(docs, n, text_col, id_col, max_shingle_df)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("size"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -203,17 +224,40 @@ def minhash_lsh_candidates(
 def minhash_near_dups(docs: DataFrame, threshold: float = 0.8,
                       num_hashes: int = 64, bands: int = 16,
                       shingle_n: int = 3, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      max_shingle_df: int | None = None) -> DataFrame:
     """Candidates → exact-Jaccard verification ≥ threshold.
 
-    The verify join recomputes true Jaccard only for LSH candidates —
-    the standard two-phase shape.
+    The verify phase touches ONLY LSH candidate pairs: each candidate
+    pair is joined to its two shingle sets (doc_a's shingles replicated
+    per pair, matched against doc_b's on the shingle key), so the work
+    is O(Σ |shingles(doc_a)| over candidates) — never the corpus-wide
+    all-shared-shingle self-join that LSH exists to avoid.
     """
     cand = minhash_lsh_candidates(docs, num_hashes, bands, shingle_n,
                                   text_col, id_col)
-    exact = ngram_jaccard_pairs(docs, shingle_n, threshold, text_col, id_col)
-    return cand.join(exact, ["doc_a", "doc_b"], "inner").select(
-        "doc_a", "doc_b", "jaccard", "n_bands_matched")
+    sh = _capped_shingles(docs, shingle_n, text_col, id_col, max_shingle_df)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("size"))
+    shared = (
+        cand.select("doc_a", "doc_b")
+        .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+              ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        cand.join(shared, ["doc_a", "doc_b"])
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("size").alias("size_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("size").alias("size_b")), "doc_b")
+        .withColumn("jaccard",
+                    F.col("shared")
+                    / (F.col("size_a") + F.col("size_b") - F.col("shared")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard", "n_bands_matched")
+    )
 
 
 # ------------------------------------------------------------ SimHash

@@ -55,18 +55,42 @@ def common_collocates(per_seed: DataFrame, min_shared: int = 2,
                       round_dp: int | None = None) -> DataFrame:
     """SO1/A8 + A7: collocates present in ≥ min_shared seeds, with the
     cross-seed accumulators. ``(colloc_term, shared_by, total_freq,
-    max_logdice, avg_logdice, sum_logdice)``."""
-    agg = per_seed.groupBy("colloc_term").agg(
-        F.countDistinct("seed").alias("shared_by"),
-        F.sum("pair_freq").alias("total_freq"),
-        F.max("logdice").alias("max_logdice"),
-        F.avg("logdice").alias("avg_logdice"),
-        F.sum("logdice").alias("sum_logdice"),
-    ).filter(F.col("shared_by") >= min_shared)
-    if round_dp is not None:
-        for c in ("max_logdice", "avg_logdice", "sum_logdice"):
-            agg = agg.withColumn(c, F.round(c, round_dp))
-    return agg
+    max_logdice, avg_logdice, sum_logdice)``.
+
+    With ``round_dp`` set, the input logdice values (already rounded to
+    that dp) are scaled to integers before aggregation: sums are then
+    exact and order-independent, and the average is a half-up scaled
+    integer division — so the result is bit-identical across engines
+    (summing rounded doubles in shuffle order can flip the last dp).
+    """
+    if round_dp is None:
+        return per_seed.groupBy("colloc_term").agg(
+            F.countDistinct("seed").alias("shared_by"),
+            F.sum("pair_freq").alias("total_freq"),
+            F.max("logdice").alias("max_logdice"),
+            F.avg("logdice").alias("avg_logdice"),
+            F.sum("logdice").alias("sum_logdice"),
+        ).filter(F.col("shared_by") >= min_shared)
+    scale = 10 ** round_dp
+    agg = (
+        per_seed
+        .withColumn("ld_i", F.round(F.col("logdice") * scale).cast("long"))
+        .groupBy("colloc_term").agg(
+            F.countDistinct("seed").alias("shared_by"),
+            F.sum("pair_freq").alias("total_freq"),
+            F.max("ld_i").alias("max_i"),
+            F.sum("ld_i").alias("sum_i"),
+            F.count("*").alias("n_i"),
+        )
+        .filter(F.col("shared_by") >= min_shared)
+    )
+    return agg.select(
+        "colloc_term", "shared_by", "total_freq",
+        (F.col("max_i") / F.lit(float(scale))).alias("max_logdice"),
+        (F.expr(f"(sum_i * 2 + n_i) div (2 * n_i)") / F.lit(float(scale))
+         ).alias("avg_logdice"),
+        (F.col("sum_i") / F.lit(float(scale))).alias("sum_logdice"),
+    )
 
 
 def profile_stats(per_seed: DataFrame, n_seeds: int,

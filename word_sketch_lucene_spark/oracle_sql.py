@@ -40,11 +40,15 @@ FROM tokens GROUP BY term
 
 
 def sql_corpus_stats() -> str:
+    """avgdl via half-up scaled integer division (engine-stable; see
+    ``__spark_entry__.q_corpus_stats``); sum cast to BIGINT (DuckDB's
+    sum over BIGINT is HUGEINT, which hash-mismatches Spark's bigint)."""
     return f"""
 WITH {TOKENS_CTE},
 dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id)
-SELECT count(*) AS n_docs, sum(dl) AS total_tokens,
-       round(avg(dl), 4) AS avgdl
+SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens,
+       ((CAST(sum(dl) AS BIGINT) * 20000 + count(*)) // (2 * count(*)))
+         / 10000.0 AS avgdl
 FROM dl
 """.strip()
 
@@ -230,11 +234,13 @@ per_seed AS (
 )
 SELECT colloc_term,
        count(DISTINCT seed) AS shared_by,
-       sum(pair_freq) AS total_freq,
-       round(max(logdice), 4) AS max_logdice,
-       round(avg(logdice), 4) AS avg_logdice,
-       round(sum(logdice), 4) AS sum_logdice
-FROM per_seed GROUP BY colloc_term
+       CAST(sum(pair_freq) AS BIGINT) AS total_freq,
+       max(ld_i) / 10000.0 AS max_logdice,
+       ((CAST(sum(ld_i) AS BIGINT) * 2 + count(*)) // (2 * count(*)))
+         / 10000.0 AS avg_logdice,
+       CAST(sum(ld_i) AS BIGINT) / 10000.0 AS sum_logdice
+FROM (SELECT *, CAST(round(logdice * 10000) AS BIGINT) AS ld_i FROM per_seed)
+GROUP BY colloc_term
 HAVING count(DISTINCT seed) >= {min_shared}
 """.strip()
 
@@ -334,18 +340,33 @@ FROM documents GROUP BY md5(text)
 """.strip()
 
 
-def sql_ngram_jaccard(n: int = 3, threshold: float = 0.1) -> str:
-    """Exact n-gram Jaccard near-dup pairs via the inverted-shingle join."""
+def sql_ngram_jaccard(n: int = 3, threshold: float = 0.1,
+                      max_shingle_df: int | None = None) -> str:
+    """Exact n-gram Jaccard near-dup pairs via the inverted-shingle join
+    (mirrors the hot-shingle df cap when set)."""
+    cap_cte = ""
+    if max_shingle_df is not None:
+        cap_cte = f"""
+sh_all AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
+  FROM dt, unnest(range(1, len(toks) - {n - 2})) AS t(i)
+  WHERE len(toks) >= {n}),
+sh AS (
+  SELECT doc_id, shingle FROM sh_all
+  WHERE shingle IN (SELECT shingle FROM sh_all GROUP BY shingle
+                    HAVING count(*) <= {max_shingle_df})),"""
+    else:
+        cap_cte = f"""
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
+  FROM dt, unnest(range(1, len(toks) - {n - 2})) AS t(i)
+  WHERE len(toks) >= {n}),"""
     return f"""
 WITH dt AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                      x -> x <> '') AS toks
-  FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
-  FROM dt, unnest(range(1, len(toks) - {n - 2})) AS t(i)
-  WHERE len(toks) >= {n}),
+  FROM documents),{cap_cte}
 sizes AS (SELECT doc_id, count(*) AS size FROM sh GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
