@@ -50,9 +50,57 @@ def test_bm25_topk_uses_bounded_heap(spark, docs_small):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_query_term_stats_join_broadcasts(spark, docs_small):
+def test_bm25_topk_is_single_scan(spark, docs_small):
+    """The batch BM25 plan must tokenize the corpus ONCE: the final
+    pass reads the cached per-doc aggregate (InMemoryTableScan), never
+    a second FileScan of the corpus — at 100 TB a re-scan per statistic
+    is the wall-time."""
     plan = _plan(bm25_topk_df(docs_small, ["spark", "join"], k=10))
-    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan
+    # no corpus re-scan above the cache: every FileScan in the plan
+    # string sits inside the (already materialized) InMemoryRelation's
+    # build plan — the old plan re-tokenized the corpus 3×
+    above_cache = plan.split("InMemoryRelation")[0]
+    assert "FileScan" not in above_cache
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_full_vocab_broadcast_hint(spark, docs_small):
+    """term_stats (the full vocabulary — O(10⁸⁺) rows at web scale)
+    must never carry an explicit broadcast hint; only the 1-row
+    filtered head-stats side may. AQE picks the small side at runtime."""
+    from word_sketch_lucene_spark.operators.collocation import (
+        collocates_for_head,
+    )
+
+    toks = explode_tokens(docs_small)
+    stats = term_stats(toks)
+    df = collocates_for_head(toks, stats, "spark", limit=10)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    # exactly one hint survives: the filtered single-row head_cf side
+    assert logical.count("ResolvedHint") <= 1
+
+
+def test_word_sketch_is_one_scan_per_side(spark, docs_small):
+    """N relations must cost N predicates, not N window joins: the
+    whole sketch reads the token table a bounded number of times
+    (pair-join sides + stats), independent of catalog size."""
+    from word_sketch_lucene_spark.plans.relations import (
+        GrammarCatalog,
+        word_sketch,
+    )
+
+    toks = explode_tokens(docs_small)
+    stats = term_stats(toks)
+    df = word_sketch(toks, stats, "table", GrammarCatalog.load(),
+                     limit_per_relation=10, round_dp=4)
+    plan = _plan(df)
+    n_rel = len(GrammarCatalog.load().surface())
+    assert n_rel >= 4
+    assert plan.count("FileScan") <= 4  # a-side, b-side, colloc_cf, head_cf
+    assert plan.count("Window [") == 1  # one per-relation top-k window
+    # rank-limit pushdown: partial per-partition top-k before the shuffle
+    assert "WindowGroupLimit" in plan
 
 
 def test_term_stats_has_mapside_partial_agg(spark, docs_small):

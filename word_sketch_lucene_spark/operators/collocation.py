@@ -76,9 +76,13 @@ def collocates_for_head(
     grouped = pairs.groupBy("colloc_term").agg(F.count("*").alias("pair_freq"))
     head_cf = term_stats.filter(F.col("term") == head_term).select(
         F.col("cf").alias("head_cf"))
+    # NOTE: term_stats is NOT broadcast-hinted — at web scale the
+    # vocabulary is O(10⁸⁺) rows and a forced broadcast OOMs the driver.
+    # The grouped collocate set is the small side; AQE broadcasts it
+    # (or the stats side when genuinely small) at runtime.
     scored = (
-        grouped.join(F.broadcast(term_stats.select(
-            F.col("term").alias("colloc_term"), F.col("cf").alias("colloc_cf"))),
+        grouped.join(term_stats.select(
+            F.col("term").alias("colloc_term"), F.col("cf").alias("colloc_cf")),
             "colloc_term")
         .crossJoin(F.broadcast(head_cf))
         .withColumn("logdice", logdice_expr(

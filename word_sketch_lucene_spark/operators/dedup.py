@@ -74,10 +74,10 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    # dedupe INSIDE the row (array_distinct, JVM-side) so no
+    # corpus-wide distinct() shuffle is needed after the explode
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def _capped_shingles(docs: DataFrame, n: int, text_col: str, id_col: str,
@@ -110,7 +110,14 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     drops shingles hotter than the cap before the self-join (the
     quadratic-per-posting-list guard; at web scale set it to O(100)).
     """
-    sh = _capped_shingles(docs, n, text_col, id_col, max_shingle_df)
+    from pyspark import StorageLevel
+
+    # materialize the shingle table once: it feeds three consumers
+    # (sizes, both self-join sides) and the n-gram string generation is
+    # the expensive part — in a production pipeline this is the table
+    # you checkpoint to storage before the pair phase
+    sh = _capped_shingles(docs, n, text_col, id_col, max_shingle_df) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("size"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -234,9 +241,12 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.8,
     is O(Σ |shingles(doc_a)| over candidates) — never the corpus-wide
     all-shared-shingle self-join that LSH exists to avoid.
     """
+    from pyspark import StorageLevel
+
     cand = minhash_lsh_candidates(docs, num_hashes, bands, shingle_n,
                                   text_col, id_col)
-    sh = _capped_shingles(docs, shingle_n, text_col, id_col, max_shingle_df)
+    sh = _capped_shingles(docs, shingle_n, text_col, id_col, max_shingle_df) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("size"))
     shared = (
         cand.select("doc_a", "doc_b")

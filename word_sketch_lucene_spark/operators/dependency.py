@@ -100,9 +100,11 @@ def dependency_sketch(
     grouped = pairs.groupBy("dep_term").agg(F.count("*").alias("pair_freq"))
     head_cf = term_stats.filter(F.col("term") == lemma).select(
         F.col("cf").alias("head_cf"))
+    # term_stats deliberately not broadcast-hinted (full-vocab table —
+    # see operators/collocation.py); AQE picks the small side at runtime.
     scored = (
-        grouped.join(F.broadcast(term_stats.select(
-            F.col("term").alias("dep_term"), F.col("cf").alias("dep_cf"))),
+        grouped.join(term_stats.select(
+            F.col("term").alias("dep_term"), F.col("cf").alias("dep_cf")),
             "dep_term")
         .crossJoin(F.broadcast(head_cf))
         .withColumn("logdice", logdice_expr(

@@ -188,12 +188,14 @@ def explore_single_seed(
                  F.col("colloc_term"))
         .agg(F.count("*").alias("pair_freq"))
     )
+    # term_stats joins unhinted (full-vocab table; AQE broadcasts the
+    # candidate side when small — see operators/collocation.py)
     per_noun = cand.join(
-        F.broadcast(term_stats.select(F.col("term").alias("seed"),
-                                      F.col("cf").alias("head_cf"))), "seed"
+        term_stats.select(F.col("term").alias("seed"),
+                          F.col("cf").alias("head_cf")), "seed"
     ).join(
-        F.broadcast(term_stats.select(F.col("term").alias("colloc_term"),
-                                      F.col("cf").alias("colloc_cf"))),
+        term_stats.select(F.col("term").alias("colloc_term"),
+                          F.col("cf").alias("colloc_cf")),
         "colloc_term",
     ).withColumn("logdice", F.greatest(F.lit(0.0), F.log2(
         2.0 * F.col("pair_freq") / (F.col("head_cf") + F.col("colloc_cf"))

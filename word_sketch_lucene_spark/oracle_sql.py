@@ -136,22 +136,25 @@ ORDER BY logdice DESC, colloc_term ASC LIMIT {k}
 
 
 def sql_word_sketch(head: str, catalog, k_per_relation: int = 10) -> str:
-    """V1 fan-out: one UNION ALL branch per SURFACE relation, generated
-    from the same GrammarCatalog that drives the Spark plan."""
+    """V1 fan-out: one UNION ALL branch per applicable sketch branch,
+    generated from the SAME ``sketch_branches`` enumeration that drives
+    the Spark plan (incl. mirrored ``dual`` branches)."""
+    from .plans.relations import sketch_branches
+
     branches = []
-    wc_a = _wclass_case("a.term")
     wc_b = _wclass_case("b.term")
-    for rel in catalog.surface():
-        gap = ("(b.pos - a.pos)" if rel.ordered else "abs(b.pos - a.pos)")
+    for br in sketch_branches(catalog, head):
+        if br.ordered:
+            gap = "(a.pos - b.pos)" if br.reversed else "(b.pos - a.pos)"
+        else:
+            gap = "abs(b.pos - a.pos)"
         conds = [f"a.doc_id = b.doc_id",
-                 f"{gap} BETWEEN {rel.min_gap} AND {rel.max_gap}",
+                 f"{gap} BETWEEN {br.min_gap} AND {br.max_gap}",
                  f"a.term = '{head}'"]
-        if rel.head_class:
-            conds.append(f"{wc_a} = '{rel.head_class}'")
-        if rel.colloc_class:
-            conds.append(f"{wc_b} = '{rel.colloc_class}'")
+        if br.colloc_class:
+            conds.append(f"{wc_b} = '{br.colloc_class}'")
         branches.append(f"""
-(SELECT '{rel.id}' AS relation, colloc_term, pair_freq,
+(SELECT '{br.id}' AS relation, colloc_term, pair_freq,
        round({_LOGDICE.format(fab="pair_freq", fa="head_cf", fb="colloc_cf")}, 4)
          AS logdice,
        round(pair_freq / CAST(head_cf AS DOUBLE), 4) AS rel_freq
@@ -162,7 +165,6 @@ def sql_word_sketch(head: str, catalog, k_per_relation: int = 10) -> str:
  CROSS JOIN (SELECT cf AS head_cf FROM cf WHERE term = '{head}') h
  ORDER BY logdice DESC, colloc_term ASC LIMIT {k_per_relation})
 """.strip())
-        # ordered relations measure signed gap; unordered use abs
     union = "\nUNION ALL\n".join(branches)
     return f"""
 WITH {TOKENS_CTE},

@@ -124,6 +124,45 @@ class GrammarCatalog:
         return [r for r in self.relations if r.type == "DEP"]
 
 
+@dataclass
+class SketchBranch:
+    """One executable branch of a word sketch for a concrete head word.
+
+    ``reversed=True`` is the mirrored side of a ``dual`` relation — the
+    head word plays the relation's collocate role (Sketch Engine's
+    "X_of" mirror; the reference's ``dual`` flag), so the gap direction
+    flips for ordered patterns and the collocate takes the head class.
+    """
+
+    id: str
+    colloc_class: str | None
+    min_gap: int
+    max_gap: int
+    ordered: bool
+    reversed: bool = False
+
+
+def sketch_branches(catalog: GrammarCatalog, head_term: str
+                    ) -> list[SketchBranch]:
+    """Branches applicable to this head word: relations whose head-class
+    constraint the head satisfies, plus the mirrored branch of each
+    ``dual`` relation whose COLLOCATE class the head satisfies. Shared
+    by the Spark plan and the DuckDB oracle generator so both engines
+    enumerate identically."""
+    wc = WORD_CLASSES.get(head_term, "X")
+    out = []
+    for rel in catalog.surface():
+        if rel.head_class in (None, wc):
+            out.append(SketchBranch(rel.id, rel.colloc_class,
+                                    rel.min_gap, rel.max_gap, rel.ordered))
+        if (rel.dual and rel.colloc_class == wc
+                and (rel.ordered or rel.head_class != rel.colloc_class)):
+            out.append(SketchBranch(f"{rel.id}~of", rel.head_class,
+                                    rel.min_gap, rel.max_gap, rel.ordered,
+                                    reversed=True))
+    return out
+
+
 def word_sketch(
     tokens: DataFrame,
     term_stats: DataFrame,
@@ -133,22 +172,74 @@ def word_sketch(
     min_logdice: float = 0.0,
     round_dp: int | None = None,
 ) -> DataFrame:
-    """V1 full word sketch: every SURFACE relation's ranked collocates,
-    unioned with a ``relation`` literal column and executed as ONE job —
-    Spark's scheduler replaces the reference's bounded thread pool
-    (``SketchHandlers.java:48-49,227-230``; SURVEY §3.1 trace)."""
-    from ..operators.collocation import collocates_for_head
+    """V1 full word sketch: every applicable SURFACE relation's ranked
+    collocates in ONE job (``SketchHandlers.java:48-49,227-230``).
 
-    parts = []
-    for rel in catalog.surface():
-        c = collocates_for_head(
-            tokens, term_stats, head_term,
-            min_gap=rel.min_gap, max_gap=rel.max_gap, ordered=rel.ordered,
-            min_logdice=min_logdice, limit=limit_per_relation,
-            colloc_filter=rel.colloc_filter(), round_dp=round_dp,
-        ).withColumn("relation", F.lit(rel.id))
-        parts.append(c)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select("relation", "colloc_term", "pair_freq", "logdice", "rel_freq")
+    Plan shape (one scan, not one per relation): a single window join
+    at the catalog-wide max slop builds the head's pair table once;
+    each pair row then explodes into the relation ids it satisfies
+    (gap/order/class predicates as an ``array_compact`` of CASEs —
+    pure Catalyst), one groupBy counts (relation, collocate), ONE join
+    fetches collocate stats, and a per-relation ``row_number`` window
+    takes the top-k. N relations cost N cheap predicates, not N scans
+    and N stats joins.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.scoring import logdice_expr, rel_freq_expr
+
+    branches = sketch_branches(catalog, head_term)
+    if not branches:
+        return tokens.sparkSession.createDataFrame(
+            [], "relation string, colloc_term string, pair_freq long, "
+                "logdice double, rel_freq double")
+    from ..operators.proximity import window_pairs
+
+    gmin = min(b.min_gap for b in branches)
+    gmax = max(b.max_gap for b in branches)
+    pairs = window_pairs(tokens, gmin, gmax, ordered=False,
+                         head_filter=F.col("head_term") == head_term)
+    gap = F.col("colloc_pos") - F.col("head_pos")
+    whens = []
+    for br in branches:
+        if br.ordered:
+            g = -gap if br.reversed else gap
+            c = (g >= br.min_gap) & (g <= br.max_gap)
+        else:
+            c = (F.abs(gap) >= br.min_gap) & (F.abs(gap) <= br.max_gap)
+        if br.colloc_class:
+            c = c & (word_class_expr(F.col("colloc_term")) == br.colloc_class)
+        whens.append(F.when(c, F.lit(br.id)))
+    counted = (
+        pairs.select(
+            "colloc_term",
+            F.explode(F.array_compact(F.array(*whens))).alias("relation"))
+        .groupBy("relation", "colloc_term")
+        .agg(F.count("*").alias("pair_freq"))
+    )
+    head_cf = term_stats.filter(F.col("term") == head_term).select(
+        F.col("cf").alias("head_cf"))
+    scored = (
+        counted.join(term_stats.select(
+            F.col("term").alias("colloc_term"),
+            F.col("cf").alias("colloc_cf")), "colloc_term")
+        .crossJoin(F.broadcast(head_cf))
+        .withColumn("logdice", logdice_expr(
+            F.col("pair_freq").cast("double"),
+            F.col("head_cf").cast("double"),
+            F.col("colloc_cf").cast("double")))
+        .withColumn("rel_freq", rel_freq_expr(
+            F.col("pair_freq").cast("double"),
+            F.col("head_cf").cast("double")))
+        .filter(F.col("logdice") >= F.lit(min_logdice))
+    )
+    if round_dp is not None:
+        scored = scored.withColumn("logdice", F.round("logdice", round_dp)) \
+                       .withColumn("rel_freq", F.round("rel_freq", round_dp))
+    w = Window.partitionBy("relation").orderBy(
+        F.desc("logdice"), F.asc("colloc_term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= limit_per_relation)
+        .select("relation", "colloc_term", "pair_freq", "logdice", "rel_freq")
+    )

@@ -40,36 +40,60 @@ def bm25_topk_df(
     b: float = B,
     round_dp: int | None = None,
 ) -> DataFrame:
-    """Declarative BM25 top-k: one plan, no index needed.
+    """Declarative BM25 top-k: ONE tokenize scan, no index needed.
 
     OR semantics over query terms; tie-break (score desc, doc_id asc).
     Returns ``(doc_id, score)``. ``round_dp`` rounds the score and uses
     the rounded value as the ordering key — the cross-engine-stable
     contract used for oracle comparison (engine FP noise collapses).
+
+    Plan shape: the corpus is tokenized exactly once into a per-doc
+    aggregate ``(doc_id, dl, tf_per_query_term)`` (conditional counts —
+    map-side combined, one shuffle), persisted, then (a) a 1-row stats
+    collect reads N/avgdl/df off it and (b) the final score pass reads
+    it again from cache. At 100 TB the cached table is
+    n_docs × (2 + |terms|) ints — tiny next to the corpus — and the
+    corpus itself is scanned once instead of three times.
     """
+    from pyspark import StorageLevel
+
+    # dedupe preserving order; tf/df columns are positional
+    seen: set[str] = set()
+    terms = [t for t in terms if not (t in seen or seen.add(t))]
     tokens = explode_tokens(pages, doc_id_col, text_col)
-    dl = doc_lengths(tokens)
-    cs = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    n_docs, avgdl = int(cs["n"]), float(cs["avgdl"])
-    # df per query term, computed on the full corpus then broadcast
-    tstats = (
-        tokens.filter(F.col("term").isin(terms))
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
-    )
-    hits = (
-        tokens.filter(F.col("term").isin(terms))
-        .groupBy("term", "doc_id")
-        .agg(F.count("*").alias("tf"))
-        .join(F.broadcast(tstats), "term")
-        .join(dl, "doc_id")
-    )
-    scored = hits.withColumn(
-        "contrib",
-        bm25_term_score_expr(F.col("tf").cast("double"), F.col("df").cast("double"),
-                             F.col("dl").cast("double"), n_docs, avgdl, k1, b),
-    )
-    agg = scored.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+    tf_cols = [F.count(F.when(F.col("term") == t, True)).alias(f"tf_{i}")
+               for i, t in enumerate(terms)]
+    per_doc = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"), *tf_cols)
+    per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+    stats = per_doc.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(terms))],
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+    contribs = []
+    for i in range(len(terms)):
+        df_i = int(stats[f"df_{i}"])
+        if df_i == 0:
+            continue
+        tf = F.col(f"tf_{i}").cast("double")
+        contribs.append(F.when(
+            F.col(f"tf_{i}") > 0,
+            bm25_term_score_expr(tf, F.lit(float(df_i)),
+                                 F.col("dl").cast("double"),
+                                 n_docs, avgdl, k1, b),
+        ).otherwise(F.lit(0.0)))
+    if not contribs:
+        return per_doc.select(
+            "doc_id", F.lit(0.0).alias("score")).limit(0)
+    hit_any = None
+    for i in range(len(terms)):
+        c = F.col(f"tf_{i}") > 0
+        hit_any = c if hit_any is None else (hit_any | c)
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    agg = per_doc.filter(hit_any).select("doc_id", score.alias("score"))
     if round_dp is not None:
         agg = agg.withColumn("score", F.round("score", round_dp))
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
