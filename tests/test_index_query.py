@@ -108,3 +108,30 @@ def test_build_is_resumable(spark, docs_small, tmp_path):
     assert m1["committed_at"] == m2["committed_at"]  # stage skipped, not rerun
     # manifests carry per-partition lineage metrics
     assert m1["partitions"] and {"seg_part", "n_postings", "term_min"} <= set(m1["partitions"][0])
+
+
+def test_empty_doc_convention(spark, tmp_path):
+    """Empty docs are excluded from N/avgdl on EVERY path (Lucene
+    docCount semantics): python oracle, DataFrame BM25, and the built
+    index must agree on a corpus containing a zero-token doc."""
+    from word_sketch_lucene_spark.index.build import build_index
+    from word_sketch_lucene_spark.query.engine import IndexSearcher, bm25_topk_df
+
+    rows = [(0, "spark join spark"), (1, "join group"), (2, ""),
+            (3, "spark table scan"), (4, "--- ***")]  # 2 and 4 tokenize empty
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    oracle = BM25Oracle.from_texts({d: t for d, t in rows})
+    assert oracle.n_docs == 3
+    expected = oracle.topk(["spark", "join"], k=5)
+
+    got_df = [(r["doc_id"], r["score"])
+              for r in bm25_topk_df(docs, ["spark", "join"], k=5).collect()]
+    assert [d for d, _ in got_df] == [d for d, _ in expected]
+    for (d1, s1), (d2, s2) in zip(got_df, expected):
+        assert s1 == pytest.approx(s2, rel=1e-9)
+
+    root = tmp_path / "idx_empty"
+    stats = build_index(spark, docs, root, doc_salt=1, n_partitions=2)
+    assert stats["n_docs"] == 3
+    hits, _ = IndexSearcher(spark, root).search(["spark", "join"], k=5)
+    assert [d for d, _ in hits] == [d for d, _ in expected]

@@ -35,7 +35,10 @@ def config_fingerprint(obj: Any) -> str:
 
 
 def input_fingerprint(paths: list[str]) -> str:
-    """Fingerprint of input file listing (name, size, mtime) — cheap lineage."""
+    """Fingerprint of input file listing (name, size, mtime_ns) — cheap
+    lineage. mtime is part of the identity: a same-size content change
+    must invalidate downstream stage manifests, or a resume would skip
+    the stage and serve a stale index."""
     entries = []
     for p in sorted(paths):
         pp = Path(p)
@@ -43,10 +46,10 @@ def input_fingerprint(paths: list[str]) -> str:
             for f in sorted(pp.rglob("*")):
                 if f.is_file() and not f.name.startswith("_") and not f.name.startswith("."):
                     st = f.stat()
-                    entries.append((str(f), st.st_size))
+                    entries.append((str(f), st.st_size, st.st_mtime_ns))
         elif pp.is_file():
             st = pp.stat()
-            entries.append((str(pp), st.st_size))
+            entries.append((str(pp), st.st_size, st.st_mtime_ns))
     return config_fingerprint(entries)
 
 

@@ -122,7 +122,18 @@ def merge_indexes(
     row = spark.read.parquet(str(paths.doc_lens)).agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
         F.sum("dl").alias("tt")).collect()[0]
-    base = json.loads((Path(in_roots[0]) / STATS_FILE).read_text())
+    all_stats = [json.loads((Path(r) / STATS_FILE).read_text())
+                 for r in in_roots]
+    base = all_stats[0]
+    # scoring/codec params must agree across inputs — a delta built with
+    # different k1/b would make the merged stats misreport what the
+    # searcher will score with
+    for param in ("k1", "b", "block_size"):
+        vals = {s.get(param) for s in all_stats}
+        if len(vals) > 1:
+            raise ValueError(
+                f"merge_indexes: inputs disagree on {param!r}: {sorted(vals)} "
+                f"(rebuild the outlier or merge compatible indexes only)")
     stats = {**base, "n_docs": int(row["n"]), "avgdl": float(row["avgdl"]),
              "total_tokens": int(row["tt"])}
     paths.stats.write_text(json.dumps(stats, indent=1, sort_keys=True))

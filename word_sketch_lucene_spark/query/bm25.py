@@ -23,8 +23,11 @@ class BM25Oracle:
 
     def __init__(self, doc_tokens: dict[int, list[str]], k1: float = K1, b: float = B):
         self.k1, self.b = k1, b
-        self.dl = {d: len(t) for d, t in doc_tokens.items()}
-        self.n_docs = len(doc_tokens)
+        # zero-token docs are excluded from dl/N/avgdl — Lucene docCount
+        # semantics, and what the engine paths compute (doc_lens comes
+        # from the exploded token table, so empty docs never appear)
+        self.dl = {d: len(t) for d, t in doc_tokens.items() if t}
+        self.n_docs = len(self.dl)
         self.avgdl = sum(self.dl.values()) / self.n_docs if self.n_docs else 0.0
         self.postings: dict[str, dict[int, int]] = {}
         self.positions: dict[str, dict[int, list[int]]] = {}

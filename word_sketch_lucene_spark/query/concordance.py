@@ -59,10 +59,16 @@ def concordance_page(
     ``hits.count()`` — two actions, same as the reference's
     ``hits.size()`` + window fetch.
     """
+    # Two-phase ranking: a global orderBy().limit() first (fuses into
+    # TakeOrderedAndProject — per-partition bounded heaps, no single-
+    # partition shuffle of the full hit list), THEN row_number over the
+    # ≤ offset+page_size survivors. A bare Window.orderBy would drag
+    # every hit of a frequent term into one partition.
+    top = hits.orderBy("doc_id", "pos").limit(offset + page_size)
     w = Window.orderBy("doc_id", "pos")
     page = (
-        hits.withColumn("rank", F.row_number().over(w))
-        .filter((F.col("rank") > offset) & (F.col("rank") <= offset + page_size))
+        top.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") > offset)
     )
     ds = docstore.select("doc_id", "tokens")
     joined = page.join(ds, "doc_id")
