@@ -303,6 +303,28 @@ def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(d), float(s)) for d, s in rows], "doc_id long, score double")
 
 
+CQL_HITS_PATTERN = '1:[word="sp.*"] []{0,2} 2:[word="(join|table|group|row)"]'
+CQL_COLLOC_PATTERN = '1:[word="[a-z0-9]+"] []{0,2} 2:[word!="the|a"]'
+
+
+def q_cql_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V9/P1 mini-BCQL: labeled constraint sequence with a bounded gap
+    compiled to chained positional joins (the POST /api/bcql analog)."""
+    from word_sketch_lucene_spark.plans.cql import compile_cql
+
+    return compile_cql(explode_tokens(_docs(spark, sf_dir)), CQL_HITS_PATTERN)
+
+
+def q_cql_collocates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollocateQueryHelper analog: lemma substituted into the 1: label,
+    negated collocate constraint, distinct-pair counting, logDice rank."""
+    from word_sketch_lucene_spark.plans.cql import pattern_collocates
+
+    toks = explode_tokens(_docs(spark, sf_dir))
+    return pattern_collocates(toks, term_stats(toks), CQL_COLLOC_PATTERN,
+                              head="spark", limit=20, round_dp=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -325,6 +347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_stats": q_profile_stats,
         "topk_events_per_user": q_topk_events_per_user,
         "concordance": q_concordance,
+        "cql_hits": q_cql_hits,
+        "cql_collocates": q_cql_collocates,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "token_counts": q_token_counts,
@@ -356,6 +380,9 @@ def oracle_sql() -> dict[str, str]:
         "profile_stats": osql.sql_profile_stats(SEEDS, 1, 2, 50),
         "topk_events_per_user": osql.sql_topk_events_per_user(3),
         "concordance": osql.sql_concordance("spark", 10, 3),
+        "cql_hits": osql.sql_pattern_hits(CQL_HITS_PATTERN),
+        "cql_collocates": osql.sql_pattern_collocates(
+            CQL_COLLOC_PATTERN, "spark", k=20),
         "dedup_exact": osql.sql_exact_dup_groups(),
         "ngram_jaccard": osql.sql_ngram_jaccard(3, 0.1, max_shingle_df=100),
         "token_counts": osql.sql_token_counts(),

@@ -1,0 +1,154 @@
+"""Mini-BCQL pattern compiler: parser, join semantics, layer routing.
+
+Python oracle: brute-force regex matching over token lists — independent
+of the Spark join plan.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from word_sketch_lucene_spark.functions.tokenize import explode_tokens
+from word_sketch_lucene_spark.plans.cql import (
+    AttrTest,
+    GapItem,
+    TokenItem,
+    compile_cql,
+    find_pattern_hits,
+    parse_cql,
+    pattern_collocates,
+    substitute_at_position,
+)
+
+DOCS = [
+    (0, "the fast spark job can join the big table now"),
+    (1, "spark join spark table join row"),
+    (2, "a slow scan hits the small table"),
+    (3, "spark spark spark"),
+]
+
+
+@pytest.fixture(scope="module")
+def toks(spark):
+    return explode_tokens(spark.createDataFrame(DOCS, ["doc_id", "text"]))
+
+
+def _matches_py(pattern: str) -> set[tuple]:
+    """Brute-force oracle: try every start position in every doc."""
+    items = parse_cql(pattern)
+    out = set()
+    for doc_id, text in DOCS:
+        ts = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+        def ok(item, tok):
+            for t in item.tests:
+                hit = re.fullmatch(f"(?:{t.value})", tok) is not None
+                if t.negated:
+                    hit = not hit
+                if not hit:
+                    return False
+            return True
+
+        def walk(idx, pos, assign):
+            if idx == len(items):
+                out.add((doc_id, assign[0], assign[-1]))
+                return
+            it = items[idx]
+            if isinstance(it, GapItem):
+                for g in range(it.min, it.max + 1):
+                    walk(idx + 1, pos + g, assign)
+            else:
+                if pos < len(ts) and ok(it, ts[pos]):
+                    walk(idx + 1, pos + 1, assign + [pos])
+
+        for start in range(len(ts)):
+            walk(0, start, [])
+    return out
+
+
+@pytest.mark.parametrize("pattern", [
+    '[word="spark"] [word="join"]',                      # adjacency
+    '[word="spark"] []{0,2} [word="table"]',             # bounded gap
+    '[word="(join|table)"]',                             # alternation
+    '[word="spark"] [word!="join"]',                     # negation
+    '[word="sp.*"] [] [word="sp.*"]',                    # bare [] wildcard
+    '"spark" "join"',                                    # quoted literals
+    '[word="t.*" & word!="the"]',                        # conjunction
+])
+def test_matches_python_oracle(toks, pattern):
+    got = {(r["doc_id"], r["start"], r["end"])
+           for r in compile_cql(toks, pattern).collect()}
+    assert got == _matches_py(pattern)
+    assert got  # every parametrized pattern matches somewhere
+
+
+def test_labels_capture_positions_and_terms(toks):
+    rows = compile_cql(toks, '1:[word="spark"] 2:[word="join"]').collect()
+    for r in rows:
+        assert r["pos_1"] == r["start"] and r["pos_2"] == r["end"]
+        assert r["term_1"] == "spark" and r["term_2"] == "join"
+
+
+def test_distinct_spans_for_variable_gaps(toks):
+    # doc 3 = "spark spark spark": [sp.*] []{0,1} [sp.*] must not emit
+    # duplicate (start,end) rows for the same assignment
+    df = compile_cql(toks, '[word="spark"] []{0,1} [word="spark"]')
+    rows = [(r["doc_id"], r["start"], r["end"]) for r in df.collect()]
+    assert len(rows) == len(set(rows))
+
+
+def test_substitution_preserves_other_tests():
+    items = parse_cql('1:[xpos="NN.*"] 2:[xpos="JJ.*"]')
+    out = substitute_at_position(items, "theory", 1)
+    assert out[0].tests[0] == AttrTest("word", "theory")
+    assert out[0].tests[1].attr == "xpos"          # original test kept
+    assert out[1].tests == items[1].tests          # other position untouched
+
+
+def test_multilayer_attr_routing(spark):
+    """lemma/xpos constraints route to their columns (CoNLL-U layers)."""
+    rows = [(0, 0, "dogs", "dog", "NNS"), (0, 1, "bark", "bark", "VBP"),
+            (0, 2, "loudly", "loudly", "RB")]
+    t = spark.createDataFrame(rows, ["doc_id", "pos", "term", "lemma", "xpos"])
+    got = compile_cql(t, '1:[lemma="dog" & xpos="NN.*"] 2:[xpos="VB.*"]') \
+        .collect()
+    assert len(got) == 1 and got[0]["term_1"] == "dogs"
+    with pytest.raises(ValueError, match="deprel"):
+        compile_cql(t, '[deprel="nsubj"]').collect()
+
+
+def test_find_pattern_hits_feeds_concordance(toks):
+    hits = find_pattern_hits(toks, '[word="spark"] []{0,2} [word="table"]')
+    got = {(r["doc_id"], r["pos"]) for r in hits.collect()}
+    starts = {(d, s) for d, s, _ in
+              _matches_py('[word="spark"] []{0,2} [word="table"]')}
+    assert got == starts
+
+
+def test_pattern_collocates_counts_distinct_pairs(spark, toks):
+    from word_sketch_lucene_spark.index.stats import term_stats
+
+    out = pattern_collocates(
+        toks, term_stats(toks), '1:[word="[a-z0-9]+"] []{0,2} 2:[word!="the"]',
+        head="spark", limit=50, round_dp=4).collect()
+    by_term = {r["colloc_term"]: r["pair_freq"] for r in out}
+    # doc1: spark@0,2,4?  "spark join spark table join row" — pairs of
+    # (spark, X) within +1..+3, distinct (doc, hp, cp)
+    assert by_term["join"] >= 2
+    assert "the" not in by_term
+
+
+@pytest.mark.parametrize("bad", [
+    "", "[]", "[]{1,2}", "[word=spark]", '[word="a"]{1,2}', '[word="a"',
+    '[]{3,1} [word="a"] [word="b"]',
+])
+def test_parse_errors(bad):
+    with pytest.raises(ValueError):
+        parse_cql(bad)
+
+
+def test_fixed_step_is_equi_join_no_nested_loop(toks):
+    plan = compile_cql(toks, '[word="spark"] [word="join"]') \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan

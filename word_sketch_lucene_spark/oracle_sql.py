@@ -494,6 +494,117 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
 """.strip()
 
 
+# ------------------------------------------------------------- mini-BCQL
+def _cql_test_sql(test, alias: str) -> str:
+    """SQL twin of ``plans.cql._test_col`` (same literal fast path)."""
+    col = f"{alias}.term"  # documents-table oracle: single 'word' layer
+    if test.is_literal:
+        v = test.value.replace("\\", "").replace("'", "''")
+        c = f"{col} = '{v}'"
+    else:
+        v = test.value.replace("'", "''")
+        c = f"regexp_matches({col}, '^(?:{v})$')"
+    return f"NOT ({c})" if test.negated else c
+
+
+def _cql_joins(pattern: str) -> tuple[list, str, str]:
+    """Shared FROM/WHERE fragments for a parsed pattern: returns
+    (steps, from_sql, where_sql) over aliases t0..tN."""
+    from .plans.cql import _steps, parse_cql
+
+    steps = _steps(parse_cql(pattern))
+    frm = ["tokens t0"]
+    for i, st in enumerate(steps[1:], start=1):
+        if st.lo == st.hi:
+            gap = f"t{i}.pos = t{i - 1}.pos + {st.lo}"
+        else:
+            gap = (f"t{i}.pos BETWEEN t{i - 1}.pos + {st.lo} "
+                   f"AND t{i - 1}.pos + {st.hi}")
+        conds = [f"t{i}.doc_id = t0.doc_id", gap]
+        conds += [_cql_test_sql(t, f"t{i}") for t in st.item.tests]
+        frm.append(f"JOIN tokens t{i} ON {' AND '.join(conds)}")
+    where = " AND ".join(_cql_test_sql(t, "t0") for t in steps[0].item.tests)
+    return steps, "\n  ".join(frm), where or "TRUE"
+
+
+def sql_pattern_hits(pattern: str) -> str:
+    """Oracle for ``plans.cql.compile_cql``: distinct match assignments
+    with capture columns."""
+    steps, frm, where = _cql_joins(pattern)
+    last = len(steps) - 1
+    sel = [f"t0.doc_id AS doc_id", f"t0.pos AS start",
+           f"t{last}.pos AS \"end\""]
+    for i, st in enumerate(steps):
+        if st.item.label is not None:
+            sel.append(f"t{i}.pos AS pos_{st.item.label}")
+            sel.append(f"t{i}.term AS term_{st.item.label}")
+    return f"""
+WITH {TOKENS_CTE}
+SELECT DISTINCT {', '.join(sel)}
+FROM {frm}
+WHERE {where}
+""".strip()
+
+
+def sql_pattern_collocates(pattern: str, head: str,
+                           head_label: str = "1", colloc_label: str = "2",
+                           k: int = 20) -> str:
+    """Oracle for ``plans.cql.pattern_collocates`` (head substituted at
+    the 1: label, distinct match-pair counting, logDice rank)."""
+    from .plans.cql import (
+        TokenItem,
+        _steps,
+        parse_cql,
+        substitute_at_position,
+    )
+
+    items = parse_cql(pattern)
+    pos_n = 0
+    for it in items:
+        if isinstance(it, TokenItem):
+            pos_n += 1
+            if it.label == head_label:
+                break
+    items = substitute_at_position(items, head, pos_n)
+    steps = _steps(items)
+    hi = ci = None
+    for i, st in enumerate(steps):
+        if st.item.label == head_label:
+            hi = i
+        if st.item.label == colloc_label:
+            ci = i
+    frm = ["tokens t0"]
+    for i, st in enumerate(steps[1:], start=1):
+        if st.lo == st.hi:
+            gap = f"t{i}.pos = t{i - 1}.pos + {st.lo}"
+        else:
+            gap = (f"t{i}.pos BETWEEN t{i - 1}.pos + {st.lo} "
+                   f"AND t{i - 1}.pos + {st.hi}")
+        conds = [f"t{i}.doc_id = t0.doc_id", gap]
+        conds += [_cql_test_sql(t, f"t{i}") for t in st.item.tests]
+        frm.append(f"JOIN tokens t{i} ON {' AND '.join(conds)}")
+    where = " AND ".join(_cql_test_sql(t, "t0") for t in steps[0].item.tests)
+    frm_sql = "\n  ".join(frm)
+    return f"""
+WITH {TOKENS_CTE},
+cf AS (SELECT term, count(*) AS cf FROM tokens GROUP BY term),
+pairs AS (
+  SELECT DISTINCT t0.doc_id, t{hi}.pos AS hp, t{ci}.pos AS cp,
+         t{ci}.term AS colloc_term
+  FROM {frm_sql}
+  WHERE {where or 'TRUE'}),
+grouped AS (
+  SELECT colloc_term, count(*) AS pair_freq FROM pairs GROUP BY colloc_term)
+SELECT colloc_term, pair_freq,
+       round({_LOGDICE.format(fab="pair_freq", fa="head_cf", fb="c.cf")}, 4)
+         AS logdice,
+       round(pair_freq / CAST(head_cf AS DOUBLE), 4) AS rel_freq
+FROM grouped g JOIN cf c ON g.colloc_term = c.term
+CROSS JOIN (SELECT cf AS head_cf FROM cf WHERE term = '{head}') h
+ORDER BY logdice DESC, colloc_term ASC LIMIT {k}
+""".strip()
+
+
 def sql_bm25_topk(terms: list[str], k: int = 10,
                   k1: float = K1, b: float = B) -> str:
     tl = _sql_terms_list(terms)

@@ -1,0 +1,356 @@
+"""Mini-BCQL: a corpus-query-language subset compiled to DataFrame plans.
+
+Reference parity (P1/V9 — the reference's most-used query surface):
+- token constraints ``[attr="regex"]`` with ``&``-conjunction and
+  ``!=`` negation (``CqlUtils.java:38-47``, constraint blocks split as
+  in ``CqlUtils.splitCqlTokens`` at ``CqlUtils.java:74-125``)
+- numbered capture labels ``1:[...] 2:[...]`` (head/collocate
+  positions, ``GrammarConfigLoader.deriveTokenPosition``,
+  ``GrammarConfigLoader.java:289-316``)
+- bounded gaps ``[]{min,max}`` and bare ``[]`` wildcards
+  (``grammars/relations.json:40,48`` — ``2:[xpos="NN.*"] []{0,3}
+  1:[xpos="VB.*"]``)
+- quoted literals ``"word"`` as shorthand for ``[word="word"]``
+- lemma substitution into a labeled position
+  (``CqlUtils.substituteAtPosition``, ``CqlUtils.java:131-147``)
+
+Spark-first compilation: each constraint is a filtered projection of
+the token table (selective predicates reach the scan; pure-literal
+regexes degrade to ``=`` so parquet pushdown still applies), and the
+sequence is a chain of positional joins on ``doc_id`` — fixed-width
+steps become pure equi-joins ``pos₂ = pos₁ + k``; variable gaps add a
+band predicate. This is the same join shape as
+:mod:`..operators.proximity`, so it scales with the corpus, never
+quadratically: per-doc fan-out is bounded by document length.
+
+Layer routing: attribute names map to token-table columns (``word`` /
+``term`` → ``term``; ``lemma``/``upos``/``xpos``/``deprel`` → same-named
+columns when present — the CoNLL-U multi-layer schema of
+``sources/conllu.py``). Unknown attrs fail fast with the available set.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# chars whose presence makes a value a real regex; otherwise it is a
+# literal and compiles to an equality test (pushdown-friendly)
+_REGEX_META = re.compile(r"[.\^$*+?{}\[\]()|\\]")
+
+
+@dataclass
+class AttrTest:
+    """One ``attr="regex"`` (or ``attr!="regex"``) test."""
+
+    attr: str
+    value: str
+    negated: bool = False
+
+    @property
+    def is_literal(self) -> bool:
+        return _REGEX_META.search(self.value) is None
+
+
+@dataclass
+class TokenItem:
+    """One ``[...]`` constraint position, optionally labeled."""
+
+    tests: list[AttrTest] = field(default_factory=list)
+    label: str | None = None
+
+
+@dataclass
+class GapItem:
+    """``[]{min,max}`` / bare ``[]`` — unconstrained filler tokens."""
+
+    min: int
+    max: int
+
+
+# a [...] body is a run of non-]/non-quote chars or whole quoted strings —
+# so a ']' INSIDE a quoted regex value (e.g. [word="[a-z]+"]) never
+# terminates the block (the reference's CqlUtils.splitCqlTokens rule)
+_BODY = r'(?:[^\]"]|"(?:[^"\\]|\\.)*")*'
+_TOKEN_RE = re.compile(
+    rf"""\s*(?:
+        (?P<label>\w+):\s*\[(?P<lbody>{_BODY})\]
+      | \[(?P<body>{_BODY})\](?:\{{(?P<gmin>\d+),(?P<gmax>\d+)\}})?
+      | "(?P<lit>(?:[^"\\]|\\.)*)"
+    )\s*""",
+    re.VERBOSE,
+)
+
+_TEST_RE = re.compile(r'\s*(?P<attr>\w+)\s*(?P<op>!?=)\s*"(?P<val>(?:[^"\\]|\\.)*)"\s*')
+
+
+def _parse_body(body: str) -> list[AttrTest]:
+    """Parse the ``&``-conjunction inside one ``[...]`` block."""
+    tests = []
+    parts = _split_amp(body)
+    for part in parts:
+        m = _TEST_RE.fullmatch(part)
+        if not m:
+            raise ValueError(f"bad token constraint: {part!r}")
+        tests.append(AttrTest(m.group("attr"),
+                              m.group("val").replace('\\"', '"'),
+                              negated=m.group("op") == "!="))
+    return tests
+
+
+def _split_amp(body: str) -> list[str]:
+    """Split on top-level ``&`` (not inside quotes)."""
+    out, cur, in_q = [], [], False
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == '"' and (i == 0 or body[i - 1] != "\\"):
+            in_q = not in_q
+        if c == "&" and not in_q:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    out.append("".join(cur))
+    return [p for p in (s.strip() for s in out) if p]
+
+
+def parse_cql(pattern: str) -> list[TokenItem | GapItem]:
+    """Parse a mini-BCQL pattern into an item sequence.
+
+    Raises ``ValueError`` on syntax errors, empty patterns, gap items in
+    anchor position ambiguity (leading/trailing gaps are allowed but
+    meaningless and dropped), or ``{min,max}`` with ``min > max``.
+    """
+    items: list[TokenItem | GapItem] = []
+    pos = 0
+    while pos < len(pattern):
+        m = _TOKEN_RE.match(pattern, pos)
+        if not m:
+            raise ValueError(f"cannot parse CQL at: {pattern[pos:]!r}")
+        pos = m.end()
+        if m.group("lit") is not None:
+            items.append(TokenItem(
+                [AttrTest("word", re.escape(m.group("lit")))]))
+        elif m.group("label") is not None:
+            items.append(TokenItem(_parse_body(m.group("lbody")),
+                                   label=m.group("label")))
+        else:
+            body = (m.group("body") or "").strip()
+            gmin, gmax = m.group("gmin"), m.group("gmax")
+            if not body:
+                lo = int(gmin) if gmin is not None else 1
+                hi = int(gmax) if gmax is not None else 1
+                if lo > hi:
+                    raise ValueError(f"bad gap bounds {{{lo},{hi}}}")
+                items.append(GapItem(lo, hi))
+            else:
+                if gmin is not None:
+                    raise ValueError(
+                        "quantifiers only allowed on empty [] gaps")
+                items.append(TokenItem(_parse_body(body)))
+    # drop leading/trailing gaps (no anchor to attach to)
+    while items and isinstance(items[0], GapItem):
+        items.pop(0)
+    while items and isinstance(items[-1], GapItem):
+        items.pop()
+    if not items:
+        raise ValueError("empty CQL pattern")
+    if not any(isinstance(i, TokenItem) for i in items):
+        raise ValueError("pattern must contain at least one token constraint")
+    return items
+
+
+def substitute_at_position(items: list[TokenItem | GapItem], value: str,
+                           position: int, attr: str = "word"
+                           ) -> list[TokenItem | GapItem]:
+    """Inject ``attr="value"`` (escaped literal) into the Nth token
+    constraint, keeping its other tests — the reference's lemma
+    substitution (``CqlUtils.substituteAtPosition``,
+    ``CqlUtils.java:131-168``)."""
+    out: list[TokenItem | GapItem] = []
+    n = 0
+    for it in items:
+        if isinstance(it, TokenItem):
+            n += 1
+            if n == position:
+                it = TokenItem([AttrTest(attr, re.escape(value))] + it.tests,
+                               label=it.label)
+        out.append(it)
+    if n < position:
+        raise ValueError(f"pattern has {n} token positions, not {position}")
+    return out
+
+
+# ------------------------------------------------------------ steps
+@dataclass
+class _Step:
+    """Resolved constraint: offset range from the previous constraint."""
+
+    item: TokenItem
+    lo: int  # min positions after previous constraint (first step: 0)
+    hi: int
+
+
+def _steps(items: list[TokenItem | GapItem]) -> list[_Step]:
+    steps: list[_Step] = []
+    pend_lo = pend_hi = 0
+    first = True
+    for it in items:
+        if isinstance(it, GapItem):
+            pend_lo += it.min
+            pend_hi += it.max
+            continue
+        if first:
+            steps.append(_Step(it, 0, 0))
+            first = False
+        else:
+            steps.append(_Step(it, 1 + pend_lo, 1 + pend_hi))
+        pend_lo = pend_hi = 0
+    return steps
+
+
+DEFAULT_LAYERS = {"word": "term", "term": "term", "lemma": "lemma",
+                  "upos": "upos", "xpos": "xpos", "deprel": "deprel",
+                  "pos": "upos", "tag": "xpos"}
+
+
+def _resolve_attr(attr: str, columns: list[str]) -> str:
+    col = DEFAULT_LAYERS.get(attr, attr)
+    if col not in columns:
+        raise ValueError(
+            f"pattern attribute {attr!r} → column {col!r} not in token "
+            f"table (available: {sorted(columns)})")
+    return col
+
+
+def _test_col(test: AttrTest, col: Column) -> Column:
+    if test.is_literal:
+        c = col == test.value.replace("\\", "")
+    else:
+        c = col.rlike(f"^(?:{test.value})$")
+    return ~c if test.negated else c
+
+
+def _item_predicate(item: TokenItem, columns: list[str]) -> Column:
+    pred = F.lit(True)
+    for t in item.tests:
+        pred = pred & _test_col(t, F.col(_resolve_attr(t.attr, columns)))
+    return pred
+
+
+def compile_cql(
+    tokens: DataFrame,
+    pattern: str | list[TokenItem | GapItem],
+    keep_terms: bool = True,
+) -> DataFrame:
+    """Compile a pattern to the DataFrame of its matches.
+
+    Output: one row per distinct match assignment —
+    ``(doc_id, start, end)`` plus, per labeled position L,
+    ``pos_L`` (token position) and ``term_L`` (matched surface term).
+
+    Plan: filtered token projections chained by positional joins —
+    fixed-offset steps are pure equi-joins on ``(doc_id, pos)``;
+    variable gaps add a band predicate on the same hash join.
+    """
+    items = parse_cql(pattern) if isinstance(pattern, str) else pattern
+    steps = _steps(items)
+    cols = tokens.columns
+
+    def _side(i: int, item: TokenItem) -> DataFrame:
+        sel = [F.col("doc_id").alias(f"d{i}"), F.col("pos").alias(f"p{i}")]
+        if keep_terms:
+            sel.append(F.col("term").alias(f"t{i}"))
+        return tokens.filter(_item_predicate(item, cols)).select(*sel)
+
+    cur = _side(0, steps[0].item)
+    for i, st in enumerate(steps[1:], start=1):
+        nxt = _side(i, st.item)
+        prev_p = F.col(f"p{i - 1}")
+        if st.lo == st.hi:
+            cond = (F.col(f"d{i}") == F.col("d0")) & \
+                   (F.col(f"p{i}") == prev_p + st.lo)
+        else:
+            cond = (F.col(f"d{i}") == F.col("d0")) & \
+                   (F.col(f"p{i}") >= prev_p + st.lo) & \
+                   (F.col(f"p{i}") <= prev_p + st.hi)
+        cur = cur.join(nxt, cond).drop(f"d{i}")
+    last = len(steps) - 1
+    out_cols = [F.col("d0").alias("doc_id"), F.col("p0").alias("start"),
+                F.col(f"p{last}").alias("end")]
+    for i, st in enumerate(steps):
+        if st.item.label is not None:
+            out_cols.append(F.col(f"p{i}").alias(f"pos_{st.item.label}"))
+            if keep_terms:
+                out_cols.append(F.col(f"t{i}").alias(f"term_{st.item.label}"))
+    return cur.select(*out_cols).distinct()
+
+
+def find_pattern_hits(tokens: DataFrame, pattern: str) -> DataFrame:
+    """``(doc_id, pos)`` of match starts — plugs into
+    :func:`..query.concordance.concordance_page` as the V9 ``POST
+    /api/bcql`` analog (hit list → pagination → KWIC)."""
+    return (compile_cql(tokens, pattern, keep_terms=False)
+            .select("doc_id", F.col("start").alias("pos")).distinct())
+
+
+def pattern_collocates(
+    tokens: DataFrame,
+    term_stats: DataFrame,
+    pattern: str,
+    head: str,
+    head_label: str = "1",
+    colloc_label: str = "2",
+    min_logdice: float = 0.0,
+    limit: int = 20,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Collocates via a labeled pattern with the head substituted into
+    the ``1:`` position — ``CollocateQueryHelper.java:197-270``: parse,
+    substitute lemma, count per distinct collocate at the ``2:`` label,
+    rank by logDice. Counting unit = distinct (doc, head-pos,
+    colloc-pos) match pair, so multiple gap widths of the same pair
+    count once (span dedup, as in hit-based counting)."""
+    from ..functions.scoring import logdice_expr, rel_freq_expr
+
+    items = parse_cql(pattern)
+    pos_n = 0
+    for it in items:
+        if isinstance(it, TokenItem):
+            pos_n += 1
+            if it.label == head_label:
+                break
+    else:
+        raise ValueError(f"no {head_label}: label in pattern")
+    items = substitute_at_position(items, head, pos_n)
+    matches = compile_cql(tokens, items)
+    pairs = matches.select(
+        "doc_id", f"pos_{head_label}", f"pos_{colloc_label}",
+        F.col(f"term_{colloc_label}").alias("colloc_term")).distinct()
+    grouped = pairs.groupBy("colloc_term").agg(F.count("*").alias("pair_freq"))
+    head_cf = term_stats.filter(F.col("term") == head).select(
+        F.col("cf").alias("head_cf"))
+    scored = (
+        grouped.join(term_stats.select(
+            F.col("term").alias("colloc_term"),
+            F.col("cf").alias("colloc_cf")), "colloc_term")
+        .crossJoin(F.broadcast(head_cf))
+        .withColumn("logdice", logdice_expr(
+            F.col("pair_freq").cast("double"),
+            F.col("head_cf").cast("double"),
+            F.col("colloc_cf").cast("double")))
+        .withColumn("rel_freq", rel_freq_expr(
+            F.col("pair_freq").cast("double"),
+            F.col("head_cf").cast("double")))
+        .filter(F.col("logdice") >= F.lit(min_logdice))
+    )
+    if round_dp is not None:
+        scored = scored.withColumn("logdice", F.round("logdice", round_dp)) \
+                       .withColumn("rel_freq", F.round("rel_freq", round_dp))
+    return (scored.select("colloc_term", "pair_freq", "logdice", "rel_freq")
+            .orderBy(F.desc("logdice"), F.asc("colloc_term")).limit(limit))
