@@ -130,6 +130,15 @@ def q_word_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                        round_dp=4)
 
 
+def q_word_sketch_verb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 with a VERB head: exercises the mirrored ``dual`` branches
+    (verb_object~of, subject_of~of, …) — the head as collocate role."""
+    toks = explode_tokens(_docs(spark, sf_dir))
+    return word_sketch(toks, term_stats(toks), "join",
+                       GrammarCatalog.load(), limit_per_relation=10,
+                       round_dp=4)
+
+
 def q_dep_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 dependency sketch (CLI blacklab-query analog, stub annotation)."""
     toks = explode_tokens(_docs(spark, sf_dir))
@@ -342,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_counts": q_bigram_counts,
         "colloc_logdice": q_colloc_logdice,
         "word_sketch": q_word_sketch,
+        "word_sketch_verb": q_word_sketch_verb,
         "dep_sketch": q_dep_sketch,
         "multiseed_common": q_multiseed_common,
         "profile_stats": q_profile_stats,
@@ -375,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_counts": osql.sql_bigram_counts(20),
         "colloc_logdice": osql.sql_colloc_logdice("spark", 1, 2, 20),
         "word_sketch": osql.sql_word_sketch(SKETCH_HEAD, GrammarCatalog.load(), 10),
+        "word_sketch_verb": osql.sql_word_sketch("join", GrammarCatalog.load(), 10),
         "dep_sketch": osql.sql_dependency_sketch(SKETCH_HEAD, "nsubj"),
         "multiseed_common": osql.sql_multiseed_common(SEEDS, 1, 2, 50, 2),
         "profile_stats": osql.sql_profile_stats(SEEDS, 1, 2, 50),

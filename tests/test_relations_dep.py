@@ -24,9 +24,11 @@ from word_sketch_lucene_spark.query.concordance import (
 
 def test_catalog_loads_and_validates():
     cat = GrammarCatalog.load()
-    assert len(cat.relations) >= 7
-    assert cat.surface() and cat.dep()
+    assert len(cat.relations) >= 30
+    assert len(cat.surface()) >= 18 and len(cat.dep()) >= 12
     assert cat.by_id["adj_modifier"].colloc_class == "ADJ"
+    assert any(r.pattern for r in cat.surface())  # BCQL pattern relations
+    assert any(r.dual for r in cat.surface())
 
 
 @pytest.mark.parametrize("bad,msg", [
@@ -44,16 +46,39 @@ def test_catalog_validation_errors(tmp_path, bad, msg):
 
 
 def test_word_sketch_fanout(spark, docs_small):
+    from word_sketch_lucene_spark.plans.relations import sketch_branches
+
     tokens = explode_tokens(docs_small)
     ts = term_stats(tokens)
     cat = GrammarCatalog.load()
     sk = word_sketch(tokens, ts, "table", cat, limit_per_relation=5)
     rows = sk.collect()
     rels = {r["relation"] for r in rows}
-    assert rels == {r.id for r in cat.surface()}
+    allowed = ({b.id for b in sketch_branches(cat, "table")}
+               | {r.id for r in cat.surface() if r.pattern})
+    assert rels <= allowed
+    assert {"adj_modifier", "near_5", "pred_adj"} <= rels
+    # dual mirrors fire for a NOUN head (noun plays the collocate role)
+    assert "object_of_strict~of" in rels and "det_noun~of" in rels
     # per-relation cap respected
     for rel in rels:
         assert sum(1 for r in rows if r["relation"] == rel) <= 5
+
+
+def test_dual_mirror_semantics(spark):
+    """Golden: det_noun is DET→NOUN ordered; its ~of mirror for a NOUN
+    head must count determiners PRECEDING the noun within the gap."""
+    df = spark.createDataFrame([(0, "the table scan the fast table")],
+                               ["doc_id", "text"])
+    toks = explode_tokens(df)
+    sk = word_sketch(toks, term_stats(toks), "table", GrammarCatalog.load(),
+                     limit_per_relation=10)
+    rows = {(r["relation"], r["colloc_term"]): r["pair_freq"]
+            for r in sk.collect()}
+    # 'table' at pos 1 (the@0, gap 1) and pos 5 (the@3, gap 2) → freq 2
+    assert rows[("det_noun~of", "the")] == 2
+    # forward branch must NOT fire for a NOUN head (det_noun head is DET)
+    assert not any(r == "det_noun" for r, _ in rows)
 
 
 def test_annotate_deterministic_and_shaped(spark, docs_small):

@@ -165,7 +165,14 @@ def sql_word_sketch(head: str, catalog, k_per_relation: int = 10) -> str:
  CROSS JOIN (SELECT cf AS head_cf FROM cf WHERE term = '{head}') h
  ORDER BY logdice DESC, colloc_term ASC LIMIT {k_per_relation})
 """.strip())
-    union = "\nUNION ALL\n".join(branches)
+    # pattern relations: self-contained parenthesized subqueries (own
+    # WITH), unioned after the class branches — same enumeration as the
+    # Spark plan's pattern_rels loop
+    pattern_branches = [
+        f"(\n{sql_pattern_collocates(rel.pattern, head, k=k_per_relation, relation_id=rel.id)}\n)"
+        for rel in catalog.surface() if rel.pattern
+    ]
+    union = "\nUNION ALL\n".join(branches + pattern_branches)
     return f"""
 WITH {TOKENS_CTE},
 cf AS (SELECT term, count(*) AS cf FROM tokens GROUP BY term)
@@ -497,7 +504,10 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
 # ------------------------------------------------------------- mini-BCQL
 def _cql_test_sql(test, alias: str) -> str:
     """SQL twin of ``plans.cql._test_col`` (same literal fast path)."""
-    col = f"{alias}.term"  # documents-table oracle: single 'word' layer
+    if test.attr == "class":
+        col = _wclass_case(f"{alias}.term")  # virtual word-class layer
+    else:
+        col = f"{alias}.term"  # documents-table oracle: 'word' layer
     if test.is_literal:
         v = test.value.replace("\\", "").replace("'", "''")
         c = f"{col} = '{v}'"
@@ -548,7 +558,7 @@ WHERE {where}
 
 def sql_pattern_collocates(pattern: str, head: str,
                            head_label: str = "1", colloc_label: str = "2",
-                           k: int = 20) -> str:
+                           k: int = 20, relation_id: str | None = None) -> str:
     """Oracle for ``plans.cql.pattern_collocates`` (head substituted at
     the 1: label, distinct match-pair counting, logDice rank)."""
     from .plans.cql import (
@@ -595,7 +605,7 @@ pairs AS (
   WHERE {where or 'TRUE'}),
 grouped AS (
   SELECT colloc_term, count(*) AS pair_freq FROM pairs GROUP BY colloc_term)
-SELECT colloc_term, pair_freq,
+SELECT {f"'{relation_id}' AS relation, " if relation_id else ""}colloc_term, pair_freq,
        round({_LOGDICE.format(fab="pair_freq", fa="head_cf", fb="c.cf")}, 4)
          AS logdice,
        round(pair_freq / CAST(head_cf AS DOUBLE), 4) AS rel_freq

@@ -219,13 +219,19 @@ DEFAULT_LAYERS = {"word": "term", "term": "term", "lemma": "lemma",
                   "pos": "upos", "tag": "xpos"}
 
 
-def _resolve_attr(attr: str, columns: list[str]) -> str:
+def _resolve_col(attr: str, columns: list[str]) -> Column:
+    if attr == "class":
+        # virtual layer: deterministic word class of the surface term
+        # (the synthetic xpos analog; a real deployment has xpos columns)
+        from .relations import word_class_expr
+
+        return word_class_expr(F.col("term"))
     col = DEFAULT_LAYERS.get(attr, attr)
     if col not in columns:
         raise ValueError(
             f"pattern attribute {attr!r} → column {col!r} not in token "
             f"table (available: {sorted(columns)})")
-    return col
+    return F.col(col)
 
 
 def _test_col(test: AttrTest, col: Column) -> Column:
@@ -239,7 +245,7 @@ def _test_col(test: AttrTest, col: Column) -> Column:
 def _item_predicate(item: TokenItem, columns: list[str]) -> Column:
     pred = F.lit(True)
     for t in item.tests:
-        pred = pred & _test_col(t, F.col(_resolve_attr(t.attr, columns)))
+        pred = pred & _test_col(t, _resolve_col(t.attr, columns))
     return pred
 
 

@@ -68,7 +68,8 @@ class RelationConfig:
     ordered: bool = False
     deprel: str | None = None  # DEP relations
     dual: bool = False
-    description: str = ""
+    pattern: str | None = None  # BCQL pattern (labeled 1:/2:) — compiled
+    description: str = ""      # via plans.cql instead of the window join
     extra: dict = field(default_factory=dict)
 
     def head_filter(self) -> Column | None:
@@ -109,6 +110,18 @@ class GrammarCatalog:
                 raise ValueError(f"relation {obj['id']}: bad type {obj['type']}")
             if obj["type"] == "DEP" and not obj.get("deprel"):
                 raise ValueError(f"relation {obj['id']}: DEP requires deprel")
+            if obj.get("pattern"):
+                # hard error on unparseable patterns at load time, like
+                # the reference's GrammarConfigLoader (fail fast, not at
+                # query time); labels 1:/2: must both be present
+                from .cql import TokenItem, parse_cql
+
+                items = parse_cql(obj["pattern"])
+                labels = {it.label for it in items
+                          if isinstance(it, TokenItem) and it.label}
+                if not {"1", "2"} <= labels:
+                    raise ValueError(
+                        f"relation {obj['id']}: pattern needs 1: and 2: labels")
             seen.add(obj["id"])
             known = {f for f in RelationConfig.__dataclass_fields__ if f != "extra"}
             rels.append(RelationConfig(
@@ -152,11 +165,17 @@ def sketch_branches(catalog: GrammarCatalog, head_term: str
     wc = WORD_CLASSES.get(head_term, "X")
     out = []
     for rel in catalog.surface():
+        if rel.pattern:
+            continue  # pattern relations compile via plans.cql instead
         if rel.head_class in (None, wc):
             out.append(SketchBranch(rel.id, rel.colloc_class,
                                     rel.min_gap, rel.max_gap, rel.ordered))
-        if (rel.dual and rel.colloc_class == wc
-                and (rel.ordered or rel.head_class != rel.colloc_class)):
+        # mirrored dual branch: the head word plays the COLLOCATE role.
+        # Skipped when it would duplicate the forward branch (unordered
+        # with identical class constraints on both ends).
+        mirror_dupes = (not rel.ordered
+                        and rel.head_class == rel.colloc_class)
+        if rel.dual and rel.colloc_class in (None, wc) and not mirror_dupes:
             out.append(SketchBranch(f"{rel.id}~of", rel.head_class,
                                     rel.min_gap, rel.max_gap, rel.ordered,
                                     reversed=True))
@@ -189,7 +208,8 @@ def word_sketch(
     from ..functions.scoring import logdice_expr, rel_freq_expr
 
     branches = sketch_branches(catalog, head_term)
-    if not branches:
+    pattern_rels = [r for r in catalog.surface() if r.pattern]
+    if not branches and not pattern_rels:
         return tokens.sparkSession.createDataFrame(
             [], "relation string, colloc_term string, pair_freq long, "
                 "logdice double, rel_freq double")
@@ -238,8 +258,21 @@ def word_sketch(
                        .withColumn("rel_freq", F.round("rel_freq", round_dp))
     w = Window.partitionBy("relation").orderBy(
         F.desc("logdice"), F.asc("colloc_term"))
-    return (
+    out = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= limit_per_relation)
         .select("relation", "colloc_term", "pair_freq", "logdice", "rel_freq")
-    )
+    ) if branches else None
+    # pattern relations (BCQL-defined, e.g. copula shapes) compile via
+    # the CQL positional-join chain; each is its own bounded branch
+    for rel in pattern_rels:
+        from .cql import pattern_collocates
+
+        b = pattern_collocates(
+            tokens, term_stats, rel.pattern, head_term,
+            min_logdice=min_logdice, limit=limit_per_relation,
+            round_dp=round_dp,
+        ).select(F.lit(rel.id).alias("relation"), "colloc_term",
+                 "pair_freq", "logdice", "rel_freq")
+        out = b if out is None else out.unionByName(b)
+    return out
