@@ -146,6 +146,29 @@ def q_dep_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                              SKETCH_HEAD, "nsubj", limit=20, round_dp=4)
 
 
+def q_dep_sketch_conllu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 over REAL CoNLL-U layers: rule-annotate → render CoNLL-U text
+    → parse with the production parser → route (lemma, upos, head,
+    deprel) into the dependency join. The oracle computes the same
+    layers directly, so a match proves the text+parser round trip AND
+    the layer routing."""
+    from word_sketch_lucene_spark.operators.dependency import (
+        annotated_from_conllu,
+        rule_annotate,
+    )
+    from word_sketch_lucene_spark.sources.conllu import (
+        parse_conllu_docs,
+        to_conllu_text,
+    )
+
+    toks = explode_tokens(_docs(spark, sf_dir))
+    conllu = to_conllu_text(rule_annotate(toks, sent_len=10))
+    ann = annotated_from_conllu(parse_conllu_docs(conllu))
+    lemma_stats = ann.groupBy("term").agg(F.count("*").alias("cf"))
+    return dependency_sketch(ann, lemma_stats, SKETCH_HEAD, "amod",
+                             limit=20, round_dp=4)
+
+
 def q_multiseed_common(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SO1/A7/A8 multi-seed intersection (explore-multi endpoint)."""
     toks = explode_tokens(_docs(spark, sf_dir))
@@ -353,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_sketch": q_word_sketch,
         "word_sketch_verb": q_word_sketch_verb,
         "dep_sketch": q_dep_sketch,
+        "dep_sketch_conllu": q_dep_sketch_conllu,
         "multiseed_common": q_multiseed_common,
         "profile_stats": q_profile_stats,
         "topk_events_per_user": q_topk_events_per_user,
@@ -387,6 +411,7 @@ def oracle_sql() -> dict[str, str]:
         "word_sketch": osql.sql_word_sketch(SKETCH_HEAD, GrammarCatalog.load(), 10),
         "word_sketch_verb": osql.sql_word_sketch("join", GrammarCatalog.load(), 10),
         "dep_sketch": osql.sql_dependency_sketch(SKETCH_HEAD, "nsubj"),
+        "dep_sketch_conllu": osql.sql_dep_sketch_conllu(SKETCH_HEAD, "amod"),
         "multiseed_common": osql.sql_multiseed_common(SEEDS, 1, 2, 50, 2),
         "profile_stats": osql.sql_profile_stats(SEEDS, 1, 2, 50),
         "topk_events_per_user": osql.sql_topk_events_per_user(3),

@@ -137,3 +137,78 @@ def test_dedup_examples(spark):
     df = spark.createDataFrame(
         [("s1",), ("s1",), ("s2",), ("s3",)], ["kw_context"])
     assert dedup_examples(df, max_examples=2).count() == 2
+
+
+CONLLU_DOC = """# newdoc id = d1
+# sent_id = 1
+# text = The big dogs chase cars
+1\tThe\tthe\tDET\tDT\t_\t3\tdet
+2\tbig\tbig\tADJ\tJJ\t_\t3\tamod
+3\tdogs\tdog\tNOUN\tNNS\t_\t4\tnsubj
+3-4\tignored\t_\t_\t_\t_\t_\t_
+4\tchase\tchase\tVERB\tVBP\t_\t0\troot
+4.1\tghost\t_\t_\t_\t_\t_\t_
+5\tcars\tcar\tNOUN\tNNS\t_\t4\tobj
+
+1\tBig\tbig\tADJ\tJJ\t_\t2\tamod
+2\tdogs\tdog\tNOUN\tNNS\t_\t3\tnsubj
+3\tbark\tbark\tVERB\tVBP\t_\t0\troot
+"""
+
+
+def test_conllu_layers_route_into_dependency_sketch(spark):
+    """Real CoNLL-U (comments, MWT ranges, empty nodes) parsed by the
+    production parser and routed into the dependency join: amod
+    dependents of lemma 'dog' must be 'big' with freq 2 (both sents)."""
+    from word_sketch_lucene_spark.operators.dependency import (
+        annotated_from_conllu,
+    )
+    from word_sketch_lucene_spark.sources.conllu import parse_conllu_docs
+
+    df = spark.createDataFrame([("d1", CONLLU_DOC)], ["doc_id", "conllu"])
+    parsed = parse_conllu_docs(df)
+    assert parsed.count() == 8  # MWT + empty-node lines dropped
+    ann = annotated_from_conllu(parsed)
+    stats = ann.groupBy("term").agg(F.count("*").alias("cf"))
+    sk = dependency_sketch(ann, stats, "dog", "amod", limit=5).collect()
+    assert len(sk) == 1
+    assert sk[0]["dep_term"] == "big" and sk[0]["pair_freq"] == 2
+    # nsubj of the verbs: dog in both sentences
+    sk2 = dependency_sketch(ann, stats, "chase", "nsubj", limit=5).collect()
+    assert [r["dep_term"] for r in sk2] == ["dog"]
+
+
+def test_conllu_text_roundtrip(spark, docs_small):
+    """rule_annotate → to_conllu_text → parse restores every layer."""
+    from word_sketch_lucene_spark.operators.dependency import rule_annotate
+    from word_sketch_lucene_spark.sources.conllu import (
+        parse_conllu_docs,
+        to_conllu_text,
+    )
+
+    ann = rule_annotate(explode_tokens(docs_small.limit(20)), sent_len=10)
+    back = parse_conllu_docs(to_conllu_text(ann))
+    a = {(r["doc_id"], r["sent_id"], r["token_id"]):
+         (r["word"], r["lemma"], r["upos"], r["head"], r["deprel"])
+         for r in ann.withColumn("doc_id", F.col("doc_id").cast("string"))
+         .collect()}
+    b = {(r["doc_id"], r["sent_id"], r["token_id"]):
+         (r["word"], r["lemma"], r["upos"], r["head"], r["deprel"])
+         for r in back.collect()}
+    assert a == b
+
+
+def test_rule_annotate_attachments(spark):
+    """Golden: DET/ADJ attach to the next noun, NOUN to the last verb."""
+    from word_sketch_lucene_spark.operators.dependency import rule_annotate
+
+    df = spark.createDataFrame([(0, "the fast table scan a row")],
+                               ["doc_id", "text"])
+    rows = {r["word"]: (r["head"], r["deprel"])
+            for r in rule_annotate(explode_tokens(df), sent_len=10).collect()}
+    assert rows["the"] == (3, "det")      # next noun = table @3
+    assert rows["fast"] == (3, "amod")
+    assert rows["table"] == (0, "obj")    # no verb before → root
+    assert rows["scan"] == (3, "conj")    # previous token
+    assert rows["a"] == (6, "det")        # next noun = row @6
+    assert rows["row"] == (4, "obj")      # last verb before = scan @4

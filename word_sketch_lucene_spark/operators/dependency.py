@@ -53,6 +53,76 @@ def annotate_tokens(tokens: DataFrame) -> DataFrame:
     )
 
 
+def annotated_from_conllu(parsed: DataFrame, use_lemma: bool = True
+                          ) -> DataFrame:
+    """CoNLL-U token table (``sources/conllu.py`` schema: word, lemma,
+    upos, xpos, head, deprel) → the annotated shape
+    ``(doc_id, sent_id, token_id, term, wclass, head_id, deprel)``
+    consumed by :func:`dependency_pairs` — the REAL parsed layers
+    routed into the sketch operators (retires :func:`annotate_tokens`
+    for CoNLL-U-sourced corpora; the stub remains only for corpora with
+    no annotations at all)."""
+    term = F.lower(F.col("lemma" if use_lemma else "word"))
+    return parsed.select(
+        "doc_id", "sent_id", "token_id", term.alias("term"),
+        F.col("upos").alias("wclass"),
+        F.col("head").alias("head_id"), "deprel")
+
+
+def rule_annotate(tokens: DataFrame, sent_len: int = 10) -> DataFrame:
+    """Deterministic rule 'parser': syntax-ish head attachment computed
+    with window functions (SQL-reproducible, hence oracle-checkable) —
+    the upgrade over :func:`annotate_tokens`'s flat previous-token
+    chain, standing in for a real UD parser in this container.
+
+    Rules per word class (pseudo-sentences of ``sent_len`` tokens):
+    DET/ADJ attach to the NEXT noun in the sentence (det/amod);
+    NOUN attaches to the LAST verb before it (obj); VERB and X attach
+    to the previous token (conj/dep). Unresolved heads → 0 (root).
+
+    Output: ``(doc_id, sent_id, token_id, word, lemma, upos, head,
+    deprel)`` — the CoNLL-U column set, ready for
+    :func:`..sources.conllu.to_conllu_text`. Lemma is a deterministic
+    suffix rule (strip final 's' from 5+-char words).
+    """
+    from pyspark.sql import Window
+
+    wc = word_class_expr(F.col("term"))
+    base = tokens.select(
+        "doc_id",
+        (F.col("pos") / sent_len).cast("int").alias("sent_id"),
+        (F.col("pos") % sent_len + 1).cast("int").alias("token_id"),
+        F.col("term").alias("word"),
+        F.when((F.length("term") > 4) & F.col("term").endswith("s"),
+               F.expr("substring(term, 1, length(term) - 1)"))
+        .otherwise(F.col("term")).alias("lemma"),
+        wc.alias("upos"),
+    )
+    w = Window.partitionBy("doc_id", "sent_id").orderBy("token_id")
+    next_noun = F.min(
+        F.when(F.col("upos") == "NOUN", F.col("token_id"))
+    ).over(w.rowsBetween(1, Window.unboundedFollowing))
+    prev_verb = F.max(
+        F.when(F.col("upos") == "VERB", F.col("token_id"))
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    head = (
+        F.when(F.col("upos").isin("DET", "ADJ"), next_noun)
+        .when(F.col("upos") == "NOUN", prev_verb)
+        .otherwise(F.col("token_id") - 1)
+    )
+    deprel = (
+        F.when(F.col("upos") == "DET", F.lit("det"))
+        .when(F.col("upos") == "ADJ", F.lit("amod"))
+        .when(F.col("upos") == "NOUN", F.lit("obj"))
+        .when(F.col("upos") == "VERB", F.lit("conj"))
+        .otherwise(F.lit("dep"))
+    )
+    return base.select(
+        "doc_id", "sent_id", "token_id", "word", "lemma", "upos",
+        F.coalesce(head, F.lit(0)).cast("int").alias("head"),
+        deprel.alias("deprel"))
+
+
 def dependency_pairs(annotated: DataFrame) -> DataFrame:
     """Governor→dependent pairs: equi-join on (doc, sentence, head id).
 

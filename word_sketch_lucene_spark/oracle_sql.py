@@ -216,6 +216,61 @@ ORDER BY logdice DESC, dep_term ASC LIMIT {k}
 """.strip()
 
 
+def sql_dep_sketch_conllu(lemma: str, deprel: str, sent_len: int = 10,
+                          k: int = 20) -> str:
+    """Oracle for the CoNLL-U-routed dependency sketch: reproduces the
+    rule annotator (``operators.dependency.rule_annotate``) with window
+    functions directly — the Spark path additionally round-trips the
+    layers through real CoNLL-U text + the parser, so a match proves
+    the full route."""
+    wc = _wclass_case("term")
+    return f"""
+WITH {TOKENS_CTE},
+base AS (
+  SELECT doc_id,
+         CAST(pos // {sent_len} AS INT) AS sent_id,
+         CAST(pos % {sent_len} + 1 AS INT) AS token_id,
+         CASE WHEN length(term) > 4 AND term LIKE '%s'
+              THEN substr(term, 1, length(term) - 1) ELSE term END AS lemma,
+         {wc} AS upos
+  FROM tokens),
+win AS (
+  SELECT *,
+         min(CASE WHEN upos = 'NOUN' THEN token_id END) OVER (
+           PARTITION BY doc_id, sent_id ORDER BY token_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_noun,
+         max(CASE WHEN upos = 'VERB' THEN token_id END) OVER (
+           PARTITION BY doc_id, sent_id ORDER BY token_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_verb
+  FROM base),
+ann AS (
+  SELECT doc_id, sent_id, token_id, lemma,
+         COALESCE(CASE WHEN upos IN ('DET', 'ADJ') THEN next_noun
+                       WHEN upos = 'NOUN' THEN prev_verb
+                       ELSE token_id - 1 END, 0) AS head,
+         CASE WHEN upos = 'DET' THEN 'det'
+              WHEN upos = 'ADJ' THEN 'amod'
+              WHEN upos = 'NOUN' THEN 'obj'
+              WHEN upos = 'VERB' THEN 'conj'
+              ELSE 'dep' END AS deprel
+  FROM win),
+cf AS (SELECT lemma, count(*) AS cf FROM ann GROUP BY lemma),
+pairs AS (
+  SELECT d.lemma AS dep_term, count(*) AS pair_freq
+  FROM ann d JOIN ann h
+    ON d.doc_id = h.doc_id AND d.sent_id = h.sent_id
+   AND d.head = h.token_id
+  WHERE d.head > 0 AND h.lemma = '{lemma}' AND d.deprel = '{deprel}'
+  GROUP BY d.lemma)
+SELECT dep_term, pair_freq,
+       round({_LOGDICE.format(fab="pair_freq", fa="head_cf", fb="c.cf")}, 4)
+         AS logdice
+FROM pairs p JOIN cf c ON p.dep_term = c.lemma
+CROSS JOIN (SELECT cf AS head_cf FROM cf WHERE lemma = '{lemma}') h
+ORDER BY logdice DESC, dep_term ASC LIMIT {k}
+""".strip()
+
+
 def sql_multiseed_common(seeds: list[str], min_gap: int = 1, max_gap: int = 2,
                          limit_per_seed: int = 50, min_shared: int = 2) -> str:
     """SO1/A7/A8: per-seed top collocates → shared-count intersection."""

@@ -85,6 +85,54 @@ def read_conllu(spark: SparkSession, path: str) -> DataFrame:
     return files.select("file", "value").mapInPandas(parse, CONLLU_SCHEMA)
 
 
+def parse_conllu_docs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "conllu") -> DataFrame:
+    """Parse CoNLL-U text carried in a DataFrame column — the same
+    Arrow-batched parser as :func:`read_conllu`, for corpora whose
+    annotated text lives in a table instead of files."""
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "sent_id", "token_id", "word", "lemma",
+                "upos", "xpos", "head", "deprel"]
+        for pdf in batches:
+            out = []
+            for did, value in zip(pdf[id_col], pdf[text_col]):
+                out.extend(parse_conllu_text(str(did), value))
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.select(id_col, text_col).mapInPandas(parse, CONLLU_SCHEMA)
+
+
+def to_conllu_text(ann: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Annotated token table → one CoNLL-U document per row
+    ``(doc_id, conllu)`` — the inverse of the parser (8-column lines,
+    blank line between sentences), built with pure Catalyst string ops.
+
+    Input columns: ``doc_id, sent_id, token_id, word, lemma, upos,
+    head, deprel``.
+    """
+    line = F.concat_ws(
+        "\t",
+        F.col("token_id").cast("string"), "word", "lemma", "upos",
+        F.lit("_"), F.lit("_"), F.col("head").cast("string"), "deprel")
+    per_sent = (
+        ann.withColumn("line", line)
+        .groupBy(id_col, "sent_id")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("token_id", "line"))),
+                lambda s: s["line"]),
+            "\n").alias("sent_text"))
+    )
+    return (
+        per_sent.groupBy(id_col)
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sent_id", "sent_text"))),
+                lambda s: s["sent_text"]),
+            "\n\n").alias("conllu"))
+    )
+
+
 def conllu_boilerplate_filter(tokens: DataFrame, prefixes: tuple[str, ...],
                               text_col: str = "word") -> DataFrame:
     """S6 record-level filter: drop whole *sentences* whose first word
