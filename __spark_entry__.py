@@ -56,6 +56,14 @@ def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_stats(explode_tokens(_docs(spark, sf_dir)))
 
 
+def q_term_posdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+: per-term POS distribution (the reference stats.tsv posDist
+    column) in the same single aggregation pass as df/cf."""
+    from word_sketch_lucene_spark.index.stats import term_stats_posdist
+
+    return term_stats_posdist(explode_tokens(_docs(spark, sf_dir)))
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: collection stats (N, total tokens, avgdl) for BM25.
 
@@ -367,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_index_topk": q_bm25_index_topk,
         "term_stats": q_term_stats,
+        "term_posdist": q_term_posdist,
         "corpus_stats": q_corpus_stats,
         "doc_lengths": q_doc_lengths,
         "top_terms": q_top_terms,
@@ -402,6 +411,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": osql.sql_bm25_topk(FLAGSHIP_TERMS, k=10),
         "bm25_index_topk": osql.sql_bm25_topk(FLAGSHIP_TERMS, k=10),
         "term_stats": osql.sql_term_stats(),
+        "term_posdist": osql.sql_term_posdist(),
         "corpus_stats": osql.sql_corpus_stats(),
         "doc_lengths": osql.sql_doc_lengths(),
         "top_terms": osql.sql_top_terms(20),

@@ -135,3 +135,20 @@ def test_empty_doc_convention(spark, tmp_path):
     assert stats["n_docs"] == 3
     hits, _ = IndexSearcher(spark, root).search(["spark", "join"], k=5)
     assert [d for d, _ in hits] == [d for d, _ in expected]
+
+
+def test_regex_term_expansion(spark, index_small, oracle):
+    """P1 regex expansion: dictionary rlike → OR search; results must
+    equal an explicit OR over the python oracle's matching vocab."""
+    import re
+
+    s = IndexSearcher(spark, index_small)
+    terms = s.expand_terms("s.*")
+    vocab = {t for t in oracle.postings if re.fullmatch("s.*", t)}
+    assert set(terms) == vocab and len(terms) > 1
+    hits, _ = s.search_regex("s.*", k=10)
+    expected = oracle.topk(sorted(vocab, key=lambda t: (-oracle.df(t), t)),
+                           k=10)
+    assert [d for d, _ in hits] == [d for d, _ in expected]
+    assert s.search_regex("zz_nomatch.*", k=5) == ([], {"decoded_blocks": 0,
+                                                        "total_blocks": 0})

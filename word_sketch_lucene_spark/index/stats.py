@@ -30,6 +30,31 @@ def term_stats(tokens: DataFrame) -> DataFrame:
     )
 
 
+POS_CLASSES = ("NOUN", "VERB", "ADJ", "DET", "X")
+
+
+def term_stats_posdist(tokens: DataFrame, pos_col: str | None = None
+                       ) -> DataFrame:
+    """``(term, df, cf, n_<class>…)``: term stats WITH the per-term POS
+    distribution — the reference's ``stats.tsv`` posDist column
+    (``index/stats.tsv:1-6``) as conditional counts in the SAME single
+    aggregation pass (no extra shuffle).
+
+    ``pos_col`` names an annotation column (e.g. ``upos`` from the
+    CoNLL-U layers); when absent, the deterministic word-class layer
+    stands in (same convention as the sketch operators).
+    """
+    if pos_col is None:
+        from ..plans.relations import word_class_expr
+
+        tokens = tokens.withColumn("_pos_cls", word_class_expr(F.col("term")))
+        pos_col = "_pos_cls"
+    aggs = [F.countDistinct("doc_id").alias("df"), F.count("*").alias("cf")]
+    aggs += [F.count(F.when(F.col(pos_col) == c, True)).alias(f"n_{c.lower()}")
+             for c in POS_CLASSES]
+    return tokens.groupBy("term").agg(*aggs)
+
+
 def corpus_stats(doc_lens: DataFrame) -> dict:
     """``{N, avgdl, total_tokens}`` from the ``(doc_id, dl)`` table.
 

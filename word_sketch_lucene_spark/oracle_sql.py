@@ -39,6 +39,22 @@ FROM tokens GROUP BY term
 """.strip()
 
 
+def sql_term_posdist() -> str:
+    """Mirror of ``index.stats.term_stats_posdist`` on the word-class
+    layer (the stats.tsv posDist analog)."""
+    from .index.stats import POS_CLASSES
+
+    wc = _wclass_case("term")
+    conds = ", ".join(
+        f"count(CASE WHEN {wc} = '{c}' THEN 1 END) AS n_{c.lower()}"
+        for c in POS_CLASSES)
+    return f"""
+WITH {TOKENS_CTE}
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf, {conds}
+FROM tokens GROUP BY term
+""".strip()
+
+
 def sql_corpus_stats() -> str:
     """avgdl via half-up scaled integer division (engine-stable; see
     ``__spark_entry__.q_corpus_stats``); sum cast to BIGINT (DuckDB's

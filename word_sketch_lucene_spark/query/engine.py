@@ -139,6 +139,28 @@ class IndexSearcher:
                 self._df_cache[t] = found.get(t, 0)
         return {t: self._df_cache[t] for t in terms}
 
+    def expand_terms(self, pattern: str, max_terms: int = 256) -> list[str]:
+        """P1 regex term expansion via the term dictionary: the
+        reference matches ``[lemma=".*self"]`` by regex over the indexed
+        layer — here an anchored ``rlike`` over ``term_stats`` (the term
+        dictionary), df-descending so the cap keeps the heaviest terms.
+        The expansion then feeds :meth:`search` as an OR set — a scan of
+        the O(vocab) stats table, never of the postings."""
+        rows = (
+            self.term_stats.filter(F.col("term").rlike(f"^(?:{pattern})$"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .select("term").limit(max_terms).collect()
+        )
+        return [r["term"] for r in rows]
+
+    def search_regex(self, pattern: str, k: int = 10, mode: str = "auto",
+                     max_terms: int = 256):
+        """Top-k for a regex term query (OR over dictionary matches)."""
+        terms = self.expand_terms(pattern, max_terms)
+        if not terms:
+            return [], {"decoded_blocks": 0, "total_blocks": 0}
+        return self.search(terms, k=k, mode=mode)
+
     # -- block fetch -------------------------------------------------------
     def prefetch(self, terms: list[str]) -> None:
         """Fetch block rows for all uncached terms in ONE pruned scan."""
