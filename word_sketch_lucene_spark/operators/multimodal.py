@@ -44,8 +44,14 @@ MEDIA_SCHEMA = T.StructType([
 
 def generate_media(spark: SparkSession, n: int, seed: int = 3,
                    n_partitions: int | None = None) -> DataFrame:
-    """Deterministic synthetic media table (distributed, no driver data)."""
-    nparts = n_partitions or spark.sparkContext.defaultParallelism
+    """Deterministic synthetic media table (distributed, no driver data).
+
+    Partition count sizes to the DATA (~2k rows/partition floor), not
+    the cluster — two chained mapInPandas stages over 32 near-empty
+    partitions is pure python-worker fixed cost.
+    """
+    nparts = n_partitions or max(
+        1, min(spark.sparkContext.defaultParallelism, n // 2000))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

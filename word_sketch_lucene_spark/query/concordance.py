@@ -65,7 +65,11 @@ def concordance_page(
     # ≤ offset+page_size survivors. A bare Window.orderBy would drag
     # every hit of a frequent term into one partition.
     top = hits.orderBy("doc_id", "pos").limit(offset + page_size)
-    w = Window.orderBy("doc_id", "pos")
+    # constant partition key: the input is already bounded to
+    # offset+page_size rows by the limit above, so a single-partition
+    # window is by construction small (and silences the spurious
+    # "No Partition Defined" warning for the unbounded case)
+    w = Window.partitionBy(F.lit(0)).orderBy("doc_id", "pos")
     page = (
         top.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") > offset)
