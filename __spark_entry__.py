@@ -177,6 +177,29 @@ def q_dep_sketch_conllu(spark: SparkSession, sf_dir: str) -> DataFrame:
                              limit=20, round_dp=4)
 
 
+def q_dep_sketch_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-driven DEP relation with CLASS constraints on both ends
+    (reference dep_nsubj: 2:[NN.*&deprel=nsubj] 1:[VB.*]) over the
+    CoNLL-U-routed layers."""
+    from word_sketch_lucene_spark.operators.dependency import (
+        annotated_from_conllu,
+        dependency_sketch_catalog,
+        rule_annotate,
+    )
+    from word_sketch_lucene_spark.sources.conllu import (
+        parse_conllu_docs,
+        to_conllu_text,
+    )
+
+    toks = explode_tokens(_docs(spark, sf_dir))
+    conllu = to_conllu_text(rule_annotate(toks, sent_len=10))
+    ann = annotated_from_conllu(parse_conllu_docs(conllu))
+    lemma_stats = ann.groupBy("term").agg(F.count("*").alias("cf"))
+    rel = GrammarCatalog.load().by_id["dep_nsubj"]
+    return dependency_sketch_catalog(ann, lemma_stats, "scan", rel,
+                                     limit=20, round_dp=4)
+
+
 def q_multiseed_common(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SO1/A7/A8 multi-seed intersection (explore-multi endpoint)."""
     toks = explode_tokens(_docs(spark, sf_dir))
@@ -386,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_sketch_verb": q_word_sketch_verb,
         "dep_sketch": q_dep_sketch,
         "dep_sketch_conllu": q_dep_sketch_conllu,
+        "dep_sketch_catalog": q_dep_sketch_catalog,
         "multiseed_common": q_multiseed_common,
         "profile_stats": q_profile_stats,
         "topk_events_per_user": q_topk_events_per_user,
@@ -422,6 +446,8 @@ def oracle_sql() -> dict[str, str]:
         "word_sketch_verb": osql.sql_word_sketch("join", GrammarCatalog.load(), 10),
         "dep_sketch": osql.sql_dependency_sketch(SKETCH_HEAD, "nsubj"),
         "dep_sketch_conllu": osql.sql_dep_sketch_conllu(SKETCH_HEAD, "amod"),
+        "dep_sketch_catalog": osql.sql_dep_sketch_conllu(
+            "scan", "nsubj", head_class="VERB", colloc_class="NOUN"),
         "multiseed_common": osql.sql_multiseed_common(SEEDS, 1, 2, 50, 2),
         "profile_stats": osql.sql_profile_stats(SEEDS, 1, 2, 50),
         "topk_events_per_user": osql.sql_topk_events_per_user(3),

@@ -59,7 +59,9 @@ def test_word_sketch_fanout(spark, docs_small):
     assert rels <= allowed
     assert {"adj_modifier", "near_5", "pred_adj"} <= rels
     # dual mirrors fire for a NOUN head (noun plays the collocate role)
-    assert "object_of_strict~of" in rels and "det_noun~of" in rels
+    assert "object_of~of" in rels and "det_noun~of" in rels
+    # negative-gap ordered relations (collocate BEFORE the head) fire too
+    assert "noun_modifiers" in rels and "noun_dets" in rels
     # per-relation cap respected
     for rel in rels:
         assert sum(1 for r in rows if r["relation"] == rel) <= 5
@@ -206,9 +208,9 @@ def test_rule_annotate_attachments(spark):
                                ["doc_id", "text"])
     rows = {r["word"]: (r["head"], r["deprel"])
             for r in rule_annotate(explode_tokens(df), sent_len=10).collect()}
-    assert rows["the"] == (3, "det")      # next noun = table @3
+    assert rows["the"] == (3, "det")       # next noun = table @3
     assert rows["fast"] == (3, "amod")
-    assert rows["table"] == (0, "obj")    # no verb before → root
-    assert rows["scan"] == (3, "conj")    # previous token
-    assert rows["a"] == (6, "det")        # next noun = row @6
-    assert rows["row"] == (4, "obj")      # last verb before = scan @4
+    assert rows["table"] == (4, "nsubj")   # no verb before → NEXT verb
+    assert rows["scan"] == (3, "conj")     # previous token
+    assert rows["a"] == (6, "det")         # next noun = row @6
+    assert rows["row"] == (4, "obj")       # last verb before = scan @4

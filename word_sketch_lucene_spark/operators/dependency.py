@@ -76,9 +76,11 @@ def rule_annotate(tokens: DataFrame, sent_len: int = 10) -> DataFrame:
     chain, standing in for a real UD parser in this container.
 
     Rules per word class (pseudo-sentences of ``sent_len`` tokens):
-    DET/ADJ attach to the NEXT noun in the sentence (det/amod);
-    NOUN attaches to the LAST verb before it (obj); VERB and X attach
-    to the previous token (conj/dep). Unresolved heads → 0 (root).
+    DET/ADJ attach to the NEXT noun in the sentence (det/amod); NOUN
+    attaches to the LAST verb before it as ``obj``, else to the NEXT
+    verb as ``nsubj`` (the UD subject-precedes-verb heuristic); VERB
+    and X attach to the previous token (conj/dep). Unresolved → 0
+    (root).
 
     Output: ``(doc_id, sent_id, token_id, word, lemma, upos, head,
     deprel)`` — the CoNLL-U column set, ready for
@@ -105,15 +107,21 @@ def rule_annotate(tokens: DataFrame, sent_len: int = 10) -> DataFrame:
     prev_verb = F.max(
         F.when(F.col("upos") == "VERB", F.col("token_id"))
     ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    next_verb = F.min(
+        F.when(F.col("upos") == "VERB", F.col("token_id"))
+    ).over(w.rowsBetween(1, Window.unboundedFollowing))
     head = (
         F.when(F.col("upos").isin("DET", "ADJ"), next_noun)
-        .when(F.col("upos") == "NOUN", prev_verb)
+        .when(F.col("upos") == "NOUN", F.coalesce(prev_verb, next_verb))
         .otherwise(F.col("token_id") - 1)
     )
     deprel = (
         F.when(F.col("upos") == "DET", F.lit("det"))
         .when(F.col("upos") == "ADJ", F.lit("amod"))
-        .when(F.col("upos") == "NOUN", F.lit("obj"))
+        .when(F.col("upos") == "NOUN",
+              F.when(prev_verb.isNotNull(), F.lit("obj"))
+              .when(next_verb.isNotNull(), F.lit("nsubj"))
+              .otherwise(F.lit("dep")))
         .when(F.col("upos") == "VERB", F.lit("conj"))
         .otherwise(F.lit("dep"))
     )
@@ -134,6 +142,7 @@ def dependency_pairs(annotated: DataFrame) -> DataFrame:
         "doc_id", "sent_id",
         F.col("head_id").alias("join_id"),
         F.col("term").alias("dep_term"),
+        F.col("wclass").alias("dep_wclass"),
         "deprel",
     )
     heads = annotated.select(
@@ -141,13 +150,32 @@ def dependency_pairs(annotated: DataFrame) -> DataFrame:
         F.col("sent_id").alias("sent_id_h"),
         F.col("token_id").alias("join_id_h"),
         F.col("term").alias("head_term"),
+        F.col("wclass").alias("head_wclass"),
     )
     return deps.join(
         heads,
         (deps["doc_id"] == heads["doc_id_h"])
         & (deps["sent_id"] == heads["sent_id_h"])
         & (deps["join_id"] == heads["join_id_h"]),
-    ).select("doc_id", "sent_id", "head_term", "dep_term", "deprel")
+    ).select("doc_id", "sent_id", "head_term", "head_wclass",
+             "dep_term", "dep_wclass", "deprel")
+
+
+def dependency_sketch_catalog(
+    annotated: DataFrame,
+    term_stats: DataFrame,
+    lemma: str,
+    rel,
+    **kw,
+) -> DataFrame:
+    """Catalog-driven DEP sketch: the reference's DEP relations carry
+    word-class constraints on BOTH ends (e.g. ``dep_amod: 1:[xpos=
+    "NN.*"] 2:[xpos="JJ.*" & deprel="amod"]``,
+    ``grammars/relations.json:330-553``) — forwarded here as wclass
+    filters on the governor/dependent join sides."""
+    return dependency_sketch(annotated, term_stats, lemma, rel.deprel,
+                             head_class=rel.head_class,
+                             colloc_class=rel.colloc_class, **kw)
 
 
 def dependency_sketch(
@@ -158,6 +186,8 @@ def dependency_sketch(
     min_logdice: float = 0.0,
     limit: int = 20,
     round_dp: int | None = None,
+    head_class: str | None = None,
+    colloc_class: str | None = None,
 ) -> DataFrame:
     """CLI ``blacklab-query --lemma W --deprel R`` equivalent
     (``Main.java:156-198`` → ``executeDependencyPattern``): dependents
@@ -167,6 +197,10 @@ def dependency_sketch(
     """
     pairs = dependency_pairs(annotated).filter(
         (F.col("head_term") == lemma) & (F.col("deprel") == deprel))
+    if head_class:
+        pairs = pairs.filter(F.col("head_wclass") == head_class)
+    if colloc_class:
+        pairs = pairs.filter(F.col("dep_wclass") == colloc_class)
     grouped = pairs.groupBy("dep_term").agg(F.count("*").alias("pair_freq"))
     head_cf = term_stats.filter(F.col("term") == lemma).select(
         F.col("cf").alias("head_cf"))

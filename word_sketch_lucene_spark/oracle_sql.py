@@ -233,7 +233,8 @@ ORDER BY logdice DESC, dep_term ASC LIMIT {k}
 
 
 def sql_dep_sketch_conllu(lemma: str, deprel: str, sent_len: int = 10,
-                          k: int = 20) -> str:
+                          k: int = 20, head_class: str | None = None,
+                          colloc_class: str | None = None) -> str:
     """Oracle for the CoNLL-U-routed dependency sketch: reproduces the
     rule annotator (``operators.dependency.rule_annotate``) with window
     functions directly — the Spark path additionally round-trips the
@@ -257,16 +258,22 @@ win AS (
            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_noun,
          max(CASE WHEN upos = 'VERB' THEN token_id END) OVER (
            PARTITION BY doc_id, sent_id ORDER BY token_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_verb
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_verb,
+         min(CASE WHEN upos = 'VERB' THEN token_id END) OVER (
+           PARTITION BY doc_id, sent_id ORDER BY token_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_verb
   FROM base),
 ann AS (
-  SELECT doc_id, sent_id, token_id, lemma,
+  SELECT doc_id, sent_id, token_id, lemma, upos,
          COALESCE(CASE WHEN upos IN ('DET', 'ADJ') THEN next_noun
-                       WHEN upos = 'NOUN' THEN prev_verb
+                       WHEN upos = 'NOUN' THEN COALESCE(prev_verb, next_verb)
                        ELSE token_id - 1 END, 0) AS head,
          CASE WHEN upos = 'DET' THEN 'det'
               WHEN upos = 'ADJ' THEN 'amod'
-              WHEN upos = 'NOUN' THEN 'obj'
+              WHEN upos = 'NOUN' THEN
+                   CASE WHEN prev_verb IS NOT NULL THEN 'obj'
+                        WHEN next_verb IS NOT NULL THEN 'nsubj'
+                        ELSE 'dep' END
               WHEN upos = 'VERB' THEN 'conj'
               ELSE 'dep' END AS deprel
   FROM win),
@@ -277,6 +284,8 @@ pairs AS (
     ON d.doc_id = h.doc_id AND d.sent_id = h.sent_id
    AND d.head = h.token_id
   WHERE d.head > 0 AND h.lemma = '{lemma}' AND d.deprel = '{deprel}'
+    {f"AND h.upos = '{head_class}'" if head_class else ""}
+    {f"AND d.upos = '{colloc_class}'" if colloc_class else ""}
   GROUP BY d.lemma)
 SELECT dep_term, pair_freq,
        round({_LOGDICE.format(fab="pair_freq", fa="head_cf", fb="c.cf")}, 4)

@@ -110,6 +110,14 @@ class GrammarCatalog:
                 raise ValueError(f"relation {obj['id']}: bad type {obj['type']}")
             if obj["type"] == "DEP" and not obj.get("deprel"):
                 raise ValueError(f"relation {obj['id']}: DEP requires deprel")
+            lo = obj.get("min_gap", 1)
+            hi = obj.get("max_gap", 5)
+            # ordered gaps may be negative (collocate before head) but a
+            # range spanning 0 would match the head position itself
+            if lo > hi or lo <= 0 <= hi:
+                raise ValueError(
+                    f"relation {obj['id']}: bad gap range [{lo},{hi}] "
+                    f"(must not span 0; negative = before the head)")
             if obj.get("pattern"):
                 # hard error on unparseable patterns at load time, like
                 # the reference's GrammarConfigLoader (fail fast, not at
@@ -215,9 +223,15 @@ def word_sketch(
                 "logdice double, rel_freq double")
     from ..operators.proximity import window_pairs
 
-    gmin = min(b.min_gap for b in branches)
-    gmax = max(b.max_gap for b in branches)
-    pairs = window_pairs(tokens, gmin, gmax, ordered=False,
+    # ordered gaps may be NEGATIVE (collocate strictly BEFORE the head,
+    # the reference's `2:[...] 1:[...]` direction); the shared pair
+    # window covers every branch as |gap| ∈ [1, max|bound|]
+    if branches:
+        coverage = max(max(abs(b.min_gap), abs(b.max_gap))
+                       for b in branches)
+    else:
+        coverage = 1
+    pairs = window_pairs(tokens, 1, coverage, ordered=False,
                          head_filter=F.col("head_term") == head_term)
     gap = F.col("colloc_pos") - F.col("head_pos")
     whens = []
