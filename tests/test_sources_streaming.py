@@ -157,3 +157,51 @@ def test_windowed_event_counts(spark, tmp_path):
     # all closed windows must match the batch result exactly
     for k, v in got.items():
         assert exp[k] == v
+
+
+def test_streaming_dedup_stateful(spark, tmp_path):
+    """Cross-micro-batch dedup: duplicates arriving in LATER batches are
+    suppressed by the per-digest state cell."""
+    from word_sketch_lucene_spark.streaming.dedup import (
+        streaming_dedup_stateful,
+        streaming_exact_dedup,
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    # batch 1: docs 0,1 (distinct) — batch 2: doc 2 repeats doc 0's text
+    spark.createDataFrame([(0, "alpha beta"), (1, "gamma delta")],
+                          ["doc_id", "text"]) \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame([(2, "alpha beta"), (3, "epsilon zeta")],
+                          ["doc_id", "text"]) \
+        .coalesce(1).write.parquet(str(src / "b2"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "*")))
+    out = streaming_dedup_stateful(stream)
+    q = (out.writeStream.format("memory").queryName("dedup_state")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM dedup_state").collect()
+    by_digest = {}
+    for r in rows:
+        assert r["digest"] not in by_digest, "digest emitted twice"
+        by_digest[r["digest"]] = r["doc_id"]
+    assert len(by_digest) == 3  # 3 distinct texts, duplicate suppressed
+    assert set(by_digest.values()) <= {0, 1, 2, 3}
+
+    # built-in variant agrees on the digest set
+    q2 = (streaming_exact_dedup(
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(src / "*")))
+          .writeStream.format("memory").queryName("dedup_builtin")
+          .outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "ckpt2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+    got = {r["digest"] for r in spark.sql(
+        "SELECT digest FROM dedup_builtin").collect()}
+    assert got == set(by_digest)

@@ -221,6 +221,14 @@ def word_sketch(
         return tokens.sparkSession.createDataFrame(
             [], "relation string, colloc_term string, pair_freq long, "
                 "logdice double, rel_freq double")
+    if pattern_rels:
+        # each pattern branch joins 2-3 filtered token projections AND a
+        # stats lookup; without materialization every branch re-derives
+        # term_stats (a full-corpus aggregate) and re-scans the token
+        # table — persist both once (term_stats is vocab-sized; tokens
+        # is the already-exploded working set)
+        tokens = tokens.persist()
+        term_stats = term_stats.persist()
     from ..operators.proximity import window_pairs
 
     # ordered gaps may be NEGATIVE (collocate strictly BEFORE the head,
