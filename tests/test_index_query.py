@@ -152,3 +152,24 @@ def test_regex_term_expansion(spark, index_small, oracle):
     assert [d for d, _ in hits] == [d for d, _ in expected]
     assert s.search_regex("zz_nomatch.*", k=5) == ([], {"decoded_blocks": 0,
                                                         "total_blocks": 0})
+
+
+def test_index_pattern_hits_match_dataframe_path(spark, index_small,
+                                                 docs_small):
+    """Index-side BCQL == DataFrame-side BCQL on the same corpus: the
+    two execution paths must produce the identical (doc, start, end)
+    span set for regex constraints and bounded gaps."""
+    from word_sketch_lucene_spark.functions.tokenize import explode_tokens
+    from word_sketch_lucene_spark.plans.cql import compile_cql
+
+    s = IndexSearcher(spark, index_small)
+    for pattern in ['[word="spark"] []{0,2} [word="(join|table)"]',
+                    '[word="sp.*"] [word="j.*"]',
+                    '"spark" "join"']:
+        idx = set(s.pattern_hits(pattern))
+        dfp = {(r["doc_id"], r["start"], r["end"])
+               for r in compile_cql(explode_tokens(docs_small),
+                                    pattern).collect()}
+        assert idx == dfp and idx, pattern
+    with pytest.raises(NotImplementedError):
+        s.pattern_hits('[word!="spark"]')

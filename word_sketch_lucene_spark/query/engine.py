@@ -251,6 +251,86 @@ class IndexSearcher:
                 out.append((d, starts.tolist()))
         return out
 
+    def pattern_hits(self, pattern: str, max_terms_per_slot: int = 256
+                     ) -> list[tuple[int, int, int]]:
+        """Index-side mini-BCQL execution — the reference's main query
+        path runs CQL against the Lucene index
+        (``BlackLabQueryExecutor.java:117-144``); here each token
+        constraint expands through the term dictionary (regex → term
+        set), its positional postings are fetched via pruned scans and
+        UNIONED per slot, and the constraint sequence chains doc-at-a-
+        time over numpy position arrays with the ``[]{min,max}`` gap
+        windows (the SpanNear generalization of :meth:`phrase_hits`).
+
+        Returns distinct ``[(doc_id, start, end)]`` sorted. Negated
+        constraints are not supported index-side (a NOT expands to the
+        whole vocabulary) — use the DataFrame path
+        (``plans.cql.compile_cql``) for those.
+        """
+        import numpy as np
+
+        from ..plans.cql import _steps, parse_cql
+
+        steps = _steps(parse_cql(pattern))
+        slot_positions: list[dict[int, object]] = []
+        for st in steps:
+            tests = st.item.tests
+            if any(t.negated for t in tests):
+                raise NotImplementedError(
+                    "negated constraints are DataFrame-path only "
+                    "(plans.cql.compile_cql)")
+            if any(t.attr not in ("word", "term") for t in tests):
+                raise NotImplementedError(
+                    "index-side patterns match the indexed term layer; "
+                    "other layers are DataFrame-path only")
+            # conjunction of regexes → intersection of expansions
+            term_sets = []
+            for t in tests:
+                if t.is_literal:
+                    term_sets.append({t.value.replace("\\", "")})
+                else:
+                    term_sets.append(set(self.expand_terms(
+                        t.value, max_terms_per_slot)))
+            terms = set.intersection(*term_sets) if term_sets else set()
+            merged: dict[int, object] = {}
+            for term in sorted(terms):
+                for d, pl in self._postings_with_positions(term).items():
+                    if d in merged:
+                        merged[d] = np.union1d(merged[d], pl)
+                    else:
+                        merged[d] = np.asarray(pl, dtype=np.int64)
+            slot_positions.append(merged)
+        if not slot_positions or any(not s for s in slot_positions):
+            return []
+        cand = set(slot_positions[0])
+        for s in slot_positions[1:]:
+            cand &= set(s)
+        out: list[tuple[int, int, int]] = []
+        for d in sorted(cand):
+            # partials: rows (start, prev_pos); extend slot by slot
+            p0 = np.asarray(slot_positions[0][d], dtype=np.int64)
+            starts, prevs = p0.copy(), p0.copy()
+            ok = True
+            for st, slot in zip(steps[1:], slot_positions[1:]):
+                nxt = np.asarray(slot[d], dtype=np.int64)
+                new_starts = []
+                new_prevs = []
+                for s, p in zip(starts, prevs):
+                    lo, hi = p + st.lo, p + st.hi
+                    sel = nxt[(nxt >= lo) & (nxt <= hi)]
+                    if sel.size:
+                        new_starts.append(np.full(sel.size, s))
+                        new_prevs.append(sel)
+                if not new_starts:
+                    ok = False
+                    break
+                starts = np.concatenate(new_starts)
+                prevs = np.concatenate(new_prevs)
+            if ok:
+                spans = {(int(s), int(e)) for s, e in zip(starts, prevs)}
+                out.extend((d, s, e) for s, e in sorted(spans))
+        return out
+
     def search(self, query: str | list[str], k: int = 10, mode: str = "auto"
                ) -> tuple[list[tuple[int, float]], dict]:
         """Top-k ``(doc_id, score)`` for a free-text query or term list.
