@@ -21,13 +21,16 @@ def main() -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--query", help="free-text OR query")
     ap.add_argument("--phrase", help="exact-sequence phrase query")
+    ap.add_argument("--cql", help="mini-BCQL pattern, e.g. "
+                    "'[word=\"sp.*\"] []{0,2} [word=\"join\"]'")
+    ap.add_argument("--regex", help="regex term query (dictionary expansion)")
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--mode", default="auto",
                     choices=["auto", "bmw", "wand", "vec", "daat"])
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
-    if not args.query and not args.phrase:
-        ap.error("one of --query / --phrase required")
+    if not (args.query or args.phrase or args.cql or args.regex):
+        ap.error("one of --query / --phrase / --cql / --regex required")
 
     from word_sketch_lucene_spark.query.engine import IndexSearcher
     from word_sketch_lucene_spark.session import get_spark
@@ -41,11 +44,23 @@ def main() -> None:
                "hits": [{"doc_id": d, "score": round(sc, 6)} for d, sc in hits],
                "decoded_blocks": st["decoded_blocks"],
                "total_blocks": st["total_blocks"]}
-    else:
+    elif args.phrase:
         matches = s.phrase_hits(args.phrase)
         out = {"phrase": args.phrase,
                "hits": [{"doc_id": d, "positions": p} for d, p in matches[:args.k]],
                "total_docs": len(matches)}
+    elif args.cql:
+        spans = s.pattern_hits(args.cql)
+        out = {"cql": args.cql,
+               "hits": [{"doc_id": d, "start": a, "end": b}
+                        for d, a, b in spans[:args.k]],
+               "total_spans": len(spans)}
+    else:
+        hits, st = s.search_regex(args.regex, k=args.k, mode=args.mode)
+        out = {"regex": args.regex,
+               "expanded_terms": s.expand_terms(args.regex)[:20],
+               "hits": [{"doc_id": d, "score": round(sc, 6)} for d, sc in hits],
+               "decoded_blocks": st["decoded_blocks"]}
     out["latency_ms"] = round(1000 * (time.perf_counter() - t0), 1)
     print(json.dumps(out))
     spark.stop()
