@@ -34,6 +34,9 @@ from word_sketch_lucene_spark.operators.textqc import FP_MOD, FP_MUL
 from word_sketch_lucene_spark.plans.relations import GrammarCatalog, word_sketch
 from word_sketch_lucene_spark.query.concordance import concordance_page, find_hits
 from word_sketch_lucene_spark.query.engine import bm25_topk_df
+from word_sketch_lucene_spark.sources.pages import (
+    BOILERPLATE_PREFIXES as _BOILERPLATE_PREFIXES,
+)
 
 FLAGSHIP_TERMS = ["spark", "join"]
 POSTINGS_TERMS = ["spark", "customer", "vector"]
@@ -207,6 +210,37 @@ def q_multiseed_common(spark: SparkSession, sf_dir: str) -> DataFrame:
                                limit_per_seed=50, min_gap=1, max_gap=2,
                                ordered=False, round_dp=4)
     return common_collocates(per_seed, min_shared=2, round_dp=4)
+
+
+def q_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 raw-text boilerplate filter over the documents table."""
+    from word_sketch_lucene_spark.sources.pages import (
+        BOILERPLATE_PREFIXES,
+        boilerplate_filter,
+    )
+
+    kept = boilerplate_filter(_docs(spark, sf_dir))
+    return kept.select("doc_id", F.length("text").alias("n_chars"))
+
+
+def q_relation_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 per-relation totals: Σ pair_freq of a ranked collocate table
+    (SketchHandlers.java:134-135 analog)."""
+    from word_sketch_lucene_spark.operators.collocation import relation_totals
+
+    return relation_totals(q_colloc_logdice(spark, sf_dir))
+
+
+def q_core_collocates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 core collocates: shared by ≥ max(2, ceil(n/3)) seeds,
+    engine-stable scaled-integer averaging."""
+    from word_sketch_lucene_spark.operators.exploration import core_collocates
+
+    toks = explode_tokens(_docs(spark, sf_dir))
+    per_seed = seed_collocates(toks, term_stats(toks), SEEDS,
+                               limit_per_seed=50, min_gap=1, max_gap=2,
+                               ordered=False, round_dp=4)
+    return core_collocates(per_seed, n_nouns=len(SEEDS), round_dp=4)
 
 
 def q_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,6 +446,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dep_sketch_catalog": q_dep_sketch_catalog,
         "multiseed_common": q_multiseed_common,
         "profile_stats": q_profile_stats,
+        "core_collocates": q_core_collocates,
+        "relation_totals": q_relation_totals,
+        "boilerplate_filter": q_boilerplate_filter,
         "topk_events_per_user": q_topk_events_per_user,
         "concordance": q_concordance,
         "cql_hits": q_cql_hits,
@@ -450,6 +487,11 @@ def oracle_sql() -> dict[str, str]:
             "scan", "nsubj", head_class="VERB", colloc_class="NOUN"),
         "multiseed_common": osql.sql_multiseed_common(SEEDS, 1, 2, 50, 2),
         "profile_stats": osql.sql_profile_stats(SEEDS, 1, 2, 50),
+        "core_collocates": osql.sql_core_collocates(SEEDS, 1, 2, 50,
+                                                    len(SEEDS)),
+        "relation_totals": osql.sql_relation_totals("spark", 1, 2, 20),
+        "boilerplate_filter": osql.sql_boilerplate_filter(
+            _BOILERPLATE_PREFIXES),
         "topk_events_per_user": osql.sql_topk_events_per_user(3),
         "concordance": osql.sql_concordance("spark", 10, 3),
         "cql_hits": osql.sql_pattern_hits(CQL_HITS_PATTERN),

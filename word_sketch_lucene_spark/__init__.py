@@ -11,8 +11,10 @@ A from-scratch rebuild of the *capabilities* of milekpl/word-sketch-lucene
                    concordance/KWIC
 - ``operators``  — collocation sketches (logDice), proximity/dependency joins,
                    semantic-field exploration, dedup, similarity search, text QC
-- ``plans``      — grammar-relation catalog → DataFrame plan templates
-- ``streaming``  — incremental (availableNow) index ingestion
+- ``plans``      — grammar-relation catalog → DataFrame plan templates;
+                   mini-BCQL pattern compiler (``plans.cql``)
+- ``streaming``  — incremental (availableNow) index ingestion,
+                   stateful streaming dedup
 
 Everything is DataFrame/Arrow-first: no per-row Python UDFs, no RDDs.
 """

@@ -124,15 +124,32 @@ def core_collocates(per_noun: DataFrame, n_nouns: int,
     """A10: collocates shared by ≥ max(2, ceil(n/3)) nouns, ranked by
     (shared_by desc, avg_logdice desc) (``SingleSeedExplorer.java:177-206``)."""
     threshold = max(2, -(-n_nouns // 3))
+    if round_dp is None:
+        out = (
+            per_noun.groupBy("colloc_term").agg(
+                F.countDistinct("seed").alias("shared_by"),
+                F.avg("logdice").alias("avg_logdice"),
+            )
+            .filter(F.col("shared_by") >= threshold)
+        )
+        return out.orderBy(F.desc("shared_by"), F.desc("avg_logdice"),
+                           F.asc("colloc_term"))
+    # engine-stable averaging (see common_collocates): scaled integers,
+    # half-up integer division
+    scale = 10 ** round_dp
     out = (
-        per_noun.groupBy("colloc_term").agg(
+        per_noun
+        .withColumn("ld_i", F.round(F.col("logdice") * scale).cast("long"))
+        .groupBy("colloc_term").agg(
             F.countDistinct("seed").alias("shared_by"),
-            F.avg("logdice").alias("avg_logdice"),
+            F.sum("ld_i").alias("sum_i"),
+            F.count("*").alias("n_i"),
         )
         .filter(F.col("shared_by") >= threshold)
+        .select("colloc_term", "shared_by",
+                (F.expr("(sum_i * 2 + n_i) div (2 * n_i)")
+                 / F.lit(float(scale))).alias("avg_logdice"))
     )
-    if round_dp is not None:
-        out = out.withColumn("avg_logdice", F.round("avg_logdice", round_dp))
     return out.orderBy(F.desc("shared_by"), F.desc("avg_logdice"),
                        F.asc("colloc_term"))
 

@@ -334,6 +334,66 @@ HAVING count(DISTINCT seed) >= {min_shared}
 """.strip()
 
 
+def sql_boilerplate_filter(prefixes: tuple[str, ...]) -> str:
+    """S5 mirror: drop docs whose text starts with a boilerplate prefix
+    (``starts_with``, NOT ``LIKE`` — '_' in a prefix is a LIKE wildcard)."""
+    conds = " OR ".join(
+        f"starts_with(text, '{p.replace(chr(39), chr(39) * 2)}')"
+        for p in prefixes)
+    return f"""
+SELECT doc_id, length(text) AS n_chars FROM documents
+WHERE NOT ({conds})
+""".strip()
+
+
+def sql_relation_totals(head: str, min_gap: int, max_gap: int,
+                        k: int) -> str:
+    """A6 mirror: total matches = Σ pair_freq of the ranked collocate
+    table (over the SAME top-k cutoff as the Spark side)."""
+    inner = sql_colloc_logdice(head, min_gap, max_gap, k)
+    return f"""
+SELECT CAST(sum(pair_freq) AS BIGINT) AS total_matches
+FROM ({inner})
+""".strip()
+
+
+def sql_core_collocates(seeds: list[str], min_gap: int, max_gap: int,
+                        limit_per_seed: int, n_seeds: int) -> str:
+    """A10 mirror: collocates shared by >= max(2, ceil(n/3)) seeds,
+    avg logdice via half-up scaled-integer division (engine-stable)."""
+    threshold = max(2, -(-n_seeds // 3))
+    branches = []
+    for s in seeds:
+        branches.append(f"""
+(SELECT '{s}' AS seed, colloc_term,
+        round({_LOGDICE.format(fab="pair_freq", fa="head_cf", fb="colloc_cf")}, 4)
+          AS logdice
+ FROM (SELECT b.term AS colloc_term, count(*) AS pair_freq
+       FROM tokens a JOIN tokens b
+         ON a.doc_id = b.doc_id
+        AND abs(b.pos - a.pos) BETWEEN {min_gap} AND {max_gap}
+       WHERE a.term = '{s}' GROUP BY b.term) p
+ JOIN (SELECT term, cf AS colloc_cf FROM cf) c ON p.colloc_term = c.term
+ CROSS JOIN (SELECT cf AS head_cf FROM cf WHERE term = '{s}') h
+ ORDER BY logdice DESC, colloc_term ASC LIMIT {limit_per_seed})
+""".strip())
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH {TOKENS_CTE},
+cf AS (SELECT term, count(*) AS cf FROM tokens GROUP BY term),
+per_seed AS (
+{union}
+)
+SELECT colloc_term,
+       count(DISTINCT seed) AS shared_by,
+       ((CAST(sum(ld_i) AS BIGINT) * 2 + count(*)) // (2 * count(*)))
+         / 10000.0 AS avg_logdice
+FROM (SELECT *, CAST(round(logdice * 10000) AS BIGINT) AS ld_i FROM per_seed)
+GROUP BY colloc_term
+HAVING count(DISTINCT seed) >= {threshold}
+""".strip()
+
+
 def sql_concordance(term: str, page_size: int = 10, context: int = 3) -> str:
     """W2+W6+J5: paginated KWIC with token-sliced context windows."""
     return f"""

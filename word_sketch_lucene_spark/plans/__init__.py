@@ -1,1 +1,2 @@
-"""Declarative query plans: grammar-relation catalog → DataFrame templates."""
+"""Declarative query plans: grammar-relation catalog → DataFrame templates;
+mini-BCQL pattern compiler (``plans.cql``)."""

@@ -1,1 +1,2 @@
-"""Structured Streaming: incremental index ingestion + windowed aggs."""
+"""Structured Streaming: incremental index ingestion, windowed aggs,
+stateful streaming dedup (``streaming.dedup``)."""
