@@ -96,27 +96,70 @@ def common_collocates(per_seed: DataFrame, min_shared: int = 2,
 def profile_stats(per_seed: DataFrame, n_seeds: int,
                   round_dp: int | None = None) -> DataFrame:
     """A9 single-pass profile statistics with the reference's derived
-    scores (``CollocateProfileComparator.java:103-151``)."""
-    agg = per_seed.groupBy("colloc_term").agg(
-        F.countDistinct("seed").alias("present_in"),
-        F.avg("logdice").alias("avg_logdice"),
-        F.max("logdice").alias("max_logdice"),
-        F.min("logdice").alias("min_logdice"),
-        F.var_pop("logdice").alias("var_logdice"),
+    scores (``CollocateProfileComparator.java:103-151``).
+
+    With ``round_dp`` set, avg and variance come from EXACT integer
+    sums of the scaled logdice values with half-up integer division —
+    ``avg()``/``var_pop()`` over doubles are shuffle-order-dependent in
+    the last ulp, and a .00005-boundary round then disagrees across
+    engines (the multiseed_common lesson). Derived scores use the
+    already-exact rounded inputs, so both engines compute identical
+    doubles before the final round.
+    """
+    if round_dp is None:
+        agg = per_seed.groupBy("colloc_term").agg(
+            F.countDistinct("seed").alias("present_in"),
+            F.avg("logdice").alias("avg_logdice"),
+            F.max("logdice").alias("max_logdice"),
+            F.min("logdice").alias("min_logdice"),
+            F.var_pop("logdice").alias("var_logdice"),
+        )
+        return (
+            agg.withColumn("commonality",
+                           F.col("present_in") * F.col("avg_logdice"))
+            .withColumn("distinctiveness",
+                        F.col("max_logdice")
+                        * (F.lit(1.0)
+                           - F.col("present_in") / F.lit(float(n_seeds)))
+                        + F.sqrt(F.col("var_logdice")))
+        )
+    scale = 10 ** round_dp
+    agg = (
+        per_seed
+        .withColumn("ld_i", F.round(F.col("logdice") * scale).cast("long"))
+        .groupBy("colloc_term").agg(
+            F.countDistinct("seed").alias("present_in"),
+            F.sum("ld_i").alias("sum_i"),
+            F.sum(F.col("ld_i") * F.col("ld_i")).alias("sum_sq_i"),
+            F.count("*").alias("n_i"),
+            F.max("ld_i").alias("max_i"),
+            F.min("ld_i").alias("min_i"),
+        )
     )
-    out = (
-        agg.withColumn("commonality",
-                       F.col("present_in") * F.col("avg_logdice"))
+    # avg at 4 dp via half-up integer division; population variance at
+    # 4 dp via vr = n·Σx² − (Σx)² (exact integer), half-up division by
+    # n²·scale — all integer until one exact-decimal float at the end
+    avg = F.expr("(sum_i * 2 + n_i) div (2 * n_i)") / F.lit(float(scale))
+    var = (F.expr(f"(2 * (sum_sq_i * n_i - sum_i * sum_i) "
+                  f"+ n_i * n_i * {scale}) div (2 * n_i * n_i * {scale})")
+           / F.lit(float(scale)))
+    out = agg.select(
+        "colloc_term", "present_in",
+        avg.alias("avg_logdice"),
+        (F.col("max_i") / F.lit(float(scale))).alias("max_logdice"),
+        (F.col("min_i") / F.lit(float(scale))).alias("min_logdice"),
+        var.alias("var_logdice"),
+    )
+    return (
+        out.withColumn("commonality",
+                       F.round(F.col("present_in") * F.col("avg_logdice"),
+                               round_dp))
         .withColumn("distinctiveness",
-                    F.col("max_logdice")
-                    * (F.lit(1.0) - F.col("present_in") / F.lit(float(n_seeds)))
-                    + F.sqrt(F.col("var_logdice")))
+                    F.round(F.col("max_logdice")
+                            * (F.lit(1.0)
+                               - F.col("present_in") / F.lit(float(n_seeds)))
+                            + F.sqrt(F.col("var_logdice")), round_dp))
     )
-    if round_dp is not None:
-        for c in ("avg_logdice", "max_logdice", "min_logdice",
-                  "var_logdice", "commonality", "distinctiveness"):
-            out = out.withColumn(c, F.round(c, round_dp))
-    return out
 
 
 def core_collocates(per_noun: DataFrame, n_nouns: int,

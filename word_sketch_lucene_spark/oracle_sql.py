@@ -442,6 +442,7 @@ def sql_profile_stats(seeds: list[str], min_gap: int = 1, max_gap: int = 2,
 """.strip())
     union = "\nUNION ALL\n".join(branches)
     n = len(seeds)
+    # integer-exact avg/variance at 4 dp — mirror of exploration.profile_stats
     return f"""
 WITH {TOKENS_CTE},
 cf AS (SELECT term, count(*) AS cf FROM tokens GROUP BY term),
@@ -451,20 +452,28 @@ per_seed AS (
 agg AS (
   SELECT colloc_term,
          count(DISTINCT seed) AS present_in,
-         avg(logdice) AS avg_logdice,
-         max(logdice) AS max_logdice,
-         min(logdice) AS min_logdice,
-         var_pop(logdice) AS var_logdice
-  FROM per_seed GROUP BY colloc_term)
-SELECT colloc_term, present_in,
-       round(avg_logdice, 4) AS avg_logdice,
-       round(max_logdice, 4) AS max_logdice,
-       round(min_logdice, 4) AS min_logdice,
-       round(var_logdice, 4) AS var_logdice,
+         CAST(sum(ld_i) AS BIGINT) AS sum_i,
+         CAST(sum(ld_i * ld_i) AS BIGINT) AS sum_sq_i,
+         count(*) AS n_i,
+         max(ld_i) AS max_i,
+         min(ld_i) AS min_i
+  FROM (SELECT *, CAST(round(logdice * 10000) AS BIGINT) AS ld_i
+        FROM per_seed)
+  GROUP BY colloc_term),
+derived AS (
+  SELECT colloc_term, present_in,
+         ((sum_i * 2 + n_i) // (2 * n_i)) / 10000.0 AS avg_logdice,
+         max_i / 10000.0 AS max_logdice,
+         min_i / 10000.0 AS min_logdice,
+         ((2 * (sum_sq_i * n_i - sum_i * sum_i) + n_i * n_i * 10000)
+          // (2 * n_i * n_i * 10000)) / 10000.0 AS var_logdice
+  FROM agg)
+SELECT colloc_term, present_in, avg_logdice, max_logdice, min_logdice,
+       var_logdice,
        round(present_in * avg_logdice, 4) AS commonality,
        round(max_logdice * (1.0 - present_in / {float(n)})
              + sqrt(var_logdice), 4) AS distinctiveness
-FROM agg
+FROM derived
 """.strip()
 
 
