@@ -311,6 +311,30 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=10, round_dp=4)
 
 
+def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (the LSH tier's oracle)."""
+    from word_sketch_lucene_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # synthetic embeddings are near-orthogonal (max pair cosine ~0.51)
+    # — 0.4 yields a real pair set to verify
+    return cosine_near_dup_pairs(emb, threshold=0.4, round_dp=4)
+
+
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic cells + n_probe search — the scale path,
+    oracle-checked because the centroid choice is deterministic."""
+    from word_sketch_lucene_spark.operators.similarity import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_cosine_topk(emb, queries, k=10, n_centroids=8, n_probe=2,
+                           round_dp=4)
+
+
 # rows-only checks (non-SQL-expressible: engine-specific hashing / LSH)
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from word_sketch_lucene_spark.operators.dedup import minhash_near_dups
@@ -460,6 +484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "cosine_topk": q_cosine_topk,
+        "cosine_near_dups": q_cosine_near_dups,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -504,6 +530,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": osql.sql_lang_id(),
         "fingerprints": osql.sql_fingerprints(FP_MUL, FP_MOD),
         "cosine_topk": osql.sql_cosine_topk([0, 1, 2], k=10),
+        "cosine_near_dups": osql.sql_cosine_near_dups(0.4),
+        "ivf_cosine_topk": osql.sql_ivf_cosine_topk([0, 1, 2], k=10,
+                                                    n_centroids=8, n_probe=2),
         # minhash/simhash/lsh/media: engine-specific hashing & binary
         # payloads — rows-only checks by design (driver records the
         # weaker check; python oracles cover them in tests/)

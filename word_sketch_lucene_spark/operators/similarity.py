@@ -150,6 +150,93 @@ def lsh_cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """EXACT embedding-cosine near-dup pairs (the brute baseline the
+    LSH tier approximates): all ``vec_a < vec_b`` pairs with cosine ≥
+    threshold. O(n²/2) — the correctness oracle tier; use
+    :func:`lsh_near_dup_pairs` at scale."""
+    a = embeddings.select(F.col(id_col).alias("vec_a"),
+                          F.col(vec_col).alias("va"),
+                          _norm_expr(F.col(vec_col)).alias("na"))
+    b = embeddings.select(F.col(id_col).alias("vec_b"),
+                          F.col(vec_col).alias("vb"),
+                          _norm_expr(F.col(vec_col)).alias("nb"))
+    out = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", _dot_expr(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb")))
+    )
+    if round_dp is not None:
+        out = out.withColumn("cosine", F.round("cosine", round_dp))
+    return (out.filter(F.col("cosine") >= threshold)
+            .select("vec_a", "vec_b", "cosine"))
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """IVF-style ANN: corpus partitioned into inverted cells, queries
+    probe the closest ``n_probe`` cells only.
+
+    Deterministic (hence oracle-checkable) centroid choice: the
+    embeddings of the ``n_centroids`` smallest ids serve as fixed cell
+    centers (a real deployment plugs k-means centers in — the
+    cell-assignment/probe plumbing is identical). Assignment and probe
+    ranking use the 4-dp-rounded cosine with centroid-id tie-break so
+    both engines agree on cell boundaries. At 10⁹+ vectors the cell
+    table is the shuffle key and each query touches n_probe/n_centroids
+    of the corpus.
+    """
+    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec_c"),
+        _norm_expr(F.col(vec_col)).alias("cnorm_c"))
+
+    def assign(side: DataFrame, idc: str, vecc: str, keep: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(cents)).withColumn(
+            "cscore", F.round(
+                _dot_expr(F.col(vecc), F.col("cvec_c"))
+                / (_norm_expr(F.col(vecc)) * F.col("cnorm_c")), 4))
+        w = Window.partitionBy(idc).orderBy(F.desc("cscore"), F.asc("cid"))
+        return (scored.withColumn("crank", F.row_number().over(w))
+                .filter(F.col("crank") <= keep)
+                .select(idc, vecc, F.col("cid").alias("cell")))
+
+    cells = assign(
+        embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("cvec")),
+        "vec_id", "cvec", keep=1)
+    probes = assign(
+        queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec")),
+        "query_id", "qvec", keep=n_probe)
+    scored = cells.join(F.broadcast(probes), "cell").withColumn(
+        "cosine",
+        _dot_expr(F.col("cvec"), F.col("qvec"))
+        / (_norm_expr(F.col("cvec")) * _norm_expr(F.col("qvec"))))
+    if round_dp is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_dp))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank"))
+
+
 def lsh_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -650,6 +650,67 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
 """.strip()
 
 
+def sql_cosine_near_dups(threshold: float) -> str:
+    """Exact near-dup pairs oracle (brute pairs, rounded cosine)."""
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4)
+      >= {threshold}
+""".strip()
+
+
+def sql_ivf_cosine_topk(query_ids: list[int], k: int = 10,
+                        n_centroids: int = 8, n_probe: int = 2) -> str:
+    """Mirror of ``operators.similarity.ivf_cosine_topk`` — same
+    deterministic centroids, rounded assignment scores, id tie-breaks."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id < {n_centroids}),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]), c.cvec), 4) DESC,
+                      c.cid ASC) AS crank
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE crank = 1),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cid AS cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(
+                        CAST(q.embedding AS DOUBLE[]), c.cvec), 4) DESC,
+                      c.cid ASC) AS crank
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id IN ({ids}))
+  WHERE crank <= {n_probe}),
+scored AS (
+  SELECT p.query_id, ce.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 4)
+           AS cosine
+  FROM probes p
+  JOIN cells ce ON p.cell = ce.cell
+  JOIN embeddings e ON ce.vec_id = e.vec_id
+  JOIN embeddings q ON p.query_id = q.vec_id)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {k}
+""".strip()
+
+
 # ------------------------------------------------------------- mini-BCQL
 def _cql_test_sql(test, alias: str) -> str:
     """SQL twin of ``plans.cql._test_col`` (same literal fast path)."""
