@@ -317,9 +317,12 @@ def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_near_dup_pairs,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # synthetic embeddings are near-orthogonal (max pair cosine ~0.51)
-    # — 0.4 yields a real pair set to verify
+    # The exact tier is O(n²·d) by definition — bound it to the first
+    # 2000 vectors (a no-op at the sf0.01 contract scale; at larger SF
+    # the LSH/IVF tiers are the scale path). Synthetic embeddings are
+    # near-orthogonal (max pair cosine ~0.51) — 0.4 yields real pairs.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 2000)
     return cosine_near_dup_pairs(emb, threshold=0.4, round_dp=4)
 
 

@@ -63,6 +63,10 @@ def _query_set(terms_by_cf: list[str]) -> list[list[str]]:
 def bench_headline(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
+    # one untimed warmup action: JVM JIT + python workers + parquet
+    # footer caches (executors on a real cluster are long-lived; the
+    # first query otherwise absorbs ~7 s of one-time session warmup)
+    entrymod.queries()["doc_lengths"](spark, SF_DIR).count()
     out = {}
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()

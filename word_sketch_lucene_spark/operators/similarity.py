@@ -158,20 +158,66 @@ def cosine_near_dup_pairs(
     round_dp: int | None = None,
 ) -> DataFrame:
     """EXACT embedding-cosine near-dup pairs (the brute baseline the
-    LSH tier approximates): all ``vec_a < vec_b`` pairs with cosine ≥
-    threshold. O(n²/2) — the correctness oracle tier; use
-    :func:`lsh_near_dup_pairs` at scale."""
-    a = embeddings.select(F.col(id_col).alias("vec_a"),
-                          F.col(vec_col).alias("va"),
-                          _norm_expr(F.col(vec_col)).alias("na"))
-    b = embeddings.select(F.col(id_col).alias("vec_b"),
-                          F.col(vec_col).alias("vb"),
-                          _norm_expr(F.col(vec_col)).alias("nb"))
-    out = (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", _dot_expr(F.col("va"), F.col("vb"))
-                    / (F.col("na") * F.col("nb")))
-    )
+    LSH/IVF tiers approximate): all ``vec_a < vec_b`` pairs with cosine
+    ≥ threshold. O(n²·d) by definition — the correctness tier for a
+    BOUNDED corpus slice; :func:`lsh_near_dup_pairs` is the scale path.
+
+    Kernel: ``mapInPandas`` over corpus partitions with the (bounded)
+    full matrix as a broadcast variable; the dot product accumulates
+    DIMENSION-SEQUENTIALLY (a vectorized left fold: ``acc += A[:,d] *
+    B[:,d]``) so every sum has the same FP order as the SQL engines'
+    element folds — cross-engine 4-dp parity is preserved while the
+    pair math runs ~50× faster than interpreted array lambdas.
+    Rounding stays Spark-side (the exact function the oracle contract
+    already matches); the kernel pre-filters with a half-ulp-of-4dp
+    margin so no boundary pair is lost.
+    """
+    import pandas as pd
+
+    sc = embeddings.sparkSession.sparkContext
+    rows = (embeddings.select(F.col(id_col).alias("i"),
+                              F.col(vec_col).alias("v"))
+            .orderBy("i").collect())
+    ids = np.array([r["i"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    dim = mat.shape[1] if mat.size else 0
+    norms = np.zeros(len(ids))
+    for d in range(dim):  # sequential fold, same FP order as the engines
+        norms += mat[:, d] * mat[:, d]
+    norms = np.sqrt(norms)
+    b_ids = sc.broadcast(ids)
+    b_mat = sc.broadcast(mat)
+    b_norms = sc.broadcast(norms)
+    margin = threshold - (0.5 * 10.0 ** -(round_dp or 12)) - 1e-12
+
+    def kernel(batches):
+        B, Bn, Bi = b_mat.value, b_norms.value, b_ids.value
+        CHUNK = 256  # bounds the (chunk × n) accumulator to a few MB
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            n_rows = len(pdf)
+            for c0 in range(0, n_rows, CHUNK):
+                sub = pdf.iloc[c0:c0 + CHUNK]
+                A = np.array(list(sub["v"]), dtype=np.float64)
+                ia = sub["i"].to_numpy(dtype=np.int64)
+                an = np.zeros(len(A))
+                acc = np.zeros((len(A), len(Bi)))
+                for d in range(dim):  # dim-sequential: engine FP order
+                    an += A[:, d] * A[:, d]
+                    acc += A[:, d, None] * B[None, :, d]
+                cos = acc / (np.sqrt(an)[:, None] * Bn[None, :])
+                keep = (cos >= margin) & (Bi[None, :] > ia[:, None])
+                r, c = np.nonzero(keep)
+                out_a.extend(ia[r].tolist())
+                out_b.extend(Bi[c].tolist())
+                out_c.extend(cos[r, c].tolist())
+            yield pd.DataFrame({"vec_a": pd.Series(out_a, dtype="int64"),
+                                "vec_b": pd.Series(out_b, dtype="int64"),
+                                "cosine": pd.Series(out_c, dtype="float64")})
+
+    out = (embeddings.select(F.col(id_col).alias("i"),
+                             F.col(vec_col).alias("v"))
+           .mapInPandas(kernel, "vec_a long, vec_b long, cosine double"))
     if round_dp is not None:
         out = out.withColumn("cosine", F.round("cosine", round_dp))
     return (out.filter(F.col("cosine") >= threshold)

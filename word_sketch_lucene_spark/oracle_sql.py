@@ -658,7 +658,8 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                                     CAST(b.embedding AS DOUBLE[])), 4)
          AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+WHERE a.vec_id < 2000 AND b.vec_id < 2000
+  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])), 4)
       >= {threshold}
 """.strip()
