@@ -30,7 +30,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "48000"))
+# 72k docs: large enough that per-run fixed cost (job scheduling,
+# parquet commits, metadata stats ≈ 2-3 s) is noise against the ~30 s
+# 4-core build — measured efficiency 0.79-0.90 at 48k vs 0.999 at 96k;
+# the spread is fixed-cost amortization, not the pipeline
+SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "72000"))
 
 
 def _sf_from_dir(d: str) -> float:
