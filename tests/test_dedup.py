@@ -132,3 +132,14 @@ def test_shingle_df_cap_drops_hot_shingles(spark):
     capped = ngram_jaccard_pairs(df, n=3, threshold=0.01, max_shingle_df=3)
     assert uncapped.count() == 15  # all pairs share the boilerplate run
     assert capped.count() == 0     # hot shingles (df=6 > 3) are dropped
+
+
+def test_exact_duplicates_id_cap(spark):
+    """A mega-hot digest must not collect an unbounded dup_ids array;
+    n_dups stays exact while the id sample is capped."""
+    rows = [(i, "same text") for i in range(50)] + [(99, "other")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    g = exact_duplicates(df, max_ids_per_group=5).collect()
+    assert len(g) == 1
+    assert g[0]["n_dups"] == 50 and g[0]["keeper"] == 0
+    assert g[0]["dup_ids"] == [0, 1, 2, 3, 4]

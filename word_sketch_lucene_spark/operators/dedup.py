@@ -35,16 +35,32 @@ from ..sources.pages import _splitmix64
 
 # ------------------------------------------------------------- exact
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     max_ids_per_group: int = 1000) -> DataFrame:
     """Groups of byte-identical texts: ``(digest, n_dups, keeper,
-    dup_ids)``; only groups with ≥2 members."""
+    dup_ids)``; only groups with ≥2 members.
+
+    ``dup_ids`` is CAPPED before collection: a mega-hot digest (e.g.
+    the empty page, occurring 10⁸ times at web scale) would otherwise
+    collect an unbounded array into one row. The cap is applied by a
+    digest-partitioned ``row_number`` (sort-based, spills — never holds
+    the group in memory) and ``collect_list`` skips the nulled-out
+    tail, so per-group state is bounded by ``max_ids_per_group``.
+    ``n_dups``/``keeper`` stay exact.
+    """
+    from pyspark.sql import Window
+
+    hashed = docs.select(F.md5(F.col(text_col)).alias("digest"),
+                         F.col(id_col).alias("doc_id"))
+    w = Window.partitionBy("digest").orderBy("doc_id")
     return (
-        docs.select(F.md5(F.col(text_col)).alias("digest"),
-                    F.col(id_col).alias("doc_id"))
+        hashed.withColumn("rn", F.row_number().over(w))
         .groupBy("digest")
         .agg(F.count("*").alias("n_dups"),
              F.min("doc_id").alias("keeper"),
-             F.sort_array(F.collect_list("doc_id")).alias("dup_ids"))
+             F.sort_array(F.collect_list(
+                 F.when(F.col("rn") <= max_ids_per_group,
+                        F.col("doc_id")))).alias("dup_ids"))
         .filter(F.col("n_dups") >= 2)
     )
 
