@@ -66,6 +66,7 @@ def _query_set(terms_by_cf: list[str]) -> list[list[str]]:
 
 def bench_headline(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
+    from word_sketch_lucene_spark.caching import release_all
 
     # one untimed warmup action: JVM JIT + python workers + parquet
     # footer caches (executors on a real cluster are long-lived; the
@@ -78,6 +79,10 @@ def bench_headline(spark) -> dict[str, float]:
         n = df.count()
         out[name] = round(time.perf_counter() - t0, 3)
         _ = n
+        # per-query cache isolation: one query's persists can't distort
+        # (or crowd out) a later query's number
+        release_all()
+        spark.catalog.clearCache()
     return out
 
 

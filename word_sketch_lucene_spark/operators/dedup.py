@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..caching import persist_tracked
 from ..functions.tokenize import tokens_expr
 from ..sources.pages import _splitmix64
 
@@ -105,10 +106,17 @@ def _capped_shingles(docs: DataFrame, n: int, text_col: str, id_col: str,
     ~no Jaccard information, so dropping them is the standard blocking
     approximation (Jaccard is then defined over informative shingles —
     sizes are computed AFTER the cap so the metric stays consistent).
+
+    The raw shingle table (the expensive n-gram string generation) is
+    persisted BEFORE the df aggregate: it feeds both the aggregate and
+    the cap join, and without materialization each consumer regenerates
+    every n-gram of the corpus. Caller releases via
+    ``caching.release_all()`` after the final action.
     """
     sh = word_shingles(docs, n, text_col, id_col)
     if max_shingle_df is None:
         return sh
+    sh = persist_tracked(sh)
     sdf = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
     return (sh.join(sdf.filter(F.col("sdf") <= max_shingle_df), "shingle")
             .select("doc_id", "shingle"))
@@ -126,14 +134,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     drops shingles hotter than the cap before the self-join (the
     quadratic-per-posting-list guard; at web scale set it to O(100)).
     """
-    from pyspark import StorageLevel
-
-    # materialize the shingle table once: it feeds three consumers
-    # (sizes, both self-join sides) and the n-gram string generation is
-    # the expensive part — in a production pipeline this is the table
-    # you checkpoint to storage before the pair phase
-    sh = _capped_shingles(docs, n, text_col, id_col, max_shingle_df) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize the capped table once: it feeds three consumers
+    # (sizes, both self-join sides) — in a production pipeline this is
+    # the table you checkpoint to storage before the pair phase. The
+    # caller releases both tracked caches after the final action.
+    sh = persist_tracked(
+        _capped_shingles(docs, n, text_col, id_col, max_shingle_df))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("size"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -176,22 +182,33 @@ def _shingle_hashes_py(text: str, n: int) -> np.ndarray:
     return vals
 
 
-def make_minhash_udf(num_hashes: int = 64, shingle_n: int = 3, seed: int = 7):
+def make_minhash_udf(num_hashes: int = 64, shingle_n: int = 3, seed: int = 7,
+                     banned_hashes: np.ndarray | None = None):
     """Arrow-vectorized MinHash signature UDF: text → array<long>.
 
     Permutations are affine maps ``(aᵢ·h + bᵢ) mod 2⁶¹-1`` with
-    deterministic aᵢ, bᵢ from splitmix64(seed, i).
+    deterministic aᵢ, bᵢ from splitmix64(seed, i). ``banned_hashes``
+    (sorted uint64) drops hot/boilerplate shingles from the signature
+    set so the signature estimates the SAME capped Jaccard the verify
+    phase computes.
     """
     idx = np.arange(num_hashes, dtype=np.uint64)
     a = (_splitmix64((np.uint64(seed) << np.uint64(32)) ^ idx) | np.uint64(1))
     bcoef = _splitmix64((np.uint64(seed + 1) << np.uint64(32)) ^ idx)
     MERS = np.uint64((1 << 61) - 1)
+    banned = (np.sort(banned_hashes.astype(np.uint64))
+              if banned_hashes is not None and banned_hashes.size
+              else None)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
             hs = _shingle_hashes_py(t or "", shingle_n)
+            if banned is not None and hs.size:
+                pos = np.searchsorted(banned, hs)
+                pos[pos == banned.size] = 0
+                hs = hs[banned[pos] != hs]
             if hs.size == 0:
                 out.append([0] * num_hashes)
                 continue
@@ -203,6 +220,33 @@ def make_minhash_udf(num_hashes: int = 64, shingle_n: int = 3, seed: int = 7):
     return minhash
 
 
+def _shingle_u64(shingles: list[str]) -> np.ndarray:
+    """Same md5-fold 64-bit hash as ``_shingle_hashes_py``."""
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    import hashlib
+
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+         for s in shingles),
+        dtype=np.uint64, count=len(shingles))
+
+
+def _hot_shingle_hashes(shingle_df: DataFrame,
+                        max_shingle_df: int) -> np.ndarray:
+    """64-bit hashes of shingles hotter than the df cap — the ban list
+    shipped into the signature UDF closure. Bounded: |hot| ≤ total
+    shingle occurrences / cap, and in a Zipf corpus the hot head is
+    tiny — thousands of strings, not a broadcast hazard."""
+    hot = (
+        shingle_df
+        .groupBy("shingle").agg(F.count("*").alias("sdf"))
+        .filter(F.col("sdf") > max_shingle_df)
+        .select("shingle").collect()
+    )
+    return _shingle_u64([r["shingle"] for r in hot])
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     num_hashes: int = 64,
@@ -211,15 +255,25 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 7,
+    max_shingle_df: int | None = None,
+    banned_hashes: np.ndarray | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: equal band-slices of the MinHash signature.
 
     ``(doc_a, doc_b, n_bands_matched)`` with ``doc_a < doc_b``. The
     bucket join shuffles on (band_id, slice-hash) — web-scale friendly.
+    ``max_shingle_df`` bans hot shingles from the signatures so they
+    estimate the capped Jaccard that :func:`minhash_near_dups` verifies
+    (signature and verification over the same shingle universe);
+    ``banned_hashes`` passes a precomputed ban list instead.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    mh = make_minhash_udf(num_hashes, shingle_n, seed)
+    banned = banned_hashes
+    if banned is None and max_shingle_df is not None:
+        banned = _hot_shingle_hashes(
+            word_shingles(docs, shingle_n, text_col, id_col), max_shingle_df)
+    mh = make_minhash_udf(num_hashes, shingle_n, seed, banned_hashes=banned)
     sigs = docs.select(F.col(id_col).alias("doc_id"),
                        mh(F.col(text_col)).alias("sig"))
     banded = sigs.select(
@@ -256,13 +310,31 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.8,
     per pair, matched against doc_b's on the shingle key), so the work
     is O(Σ |shingles(doc_a)| over candidates) — never the corpus-wide
     all-shared-shingle self-join that LSH exists to avoid.
-    """
-    from pyspark import StorageLevel
 
-    cand = minhash_lsh_candidates(docs, num_hashes, bands, shingle_n,
-                                  text_col, id_col)
-    sh = _capped_shingles(docs, shingle_n, text_col, id_col, max_shingle_df) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    ``max_shingle_df`` applies to BOTH the signatures (hot shingles
+    banned inside the UDF) and the verification Jaccard — candidate
+    generation and verification agree on the metric. The raw shingle
+    table is generated ONCE (persisted) and feeds the ban list and the
+    capped verification table.
+    """
+    if max_shingle_df is None:
+        cand = minhash_lsh_candidates(docs, num_hashes, bands, shingle_n,
+                                      text_col, id_col)
+        sh = persist_tracked(word_shingles(docs, shingle_n, text_col, id_col))
+    else:
+        raw = persist_tracked(word_shingles(docs, shingle_n, text_col, id_col))
+        sdf = persist_tracked(
+            raw.groupBy("shingle").agg(F.count("*").alias("sdf")))
+        banned = _shingle_u64(
+            [r["shingle"] for r in
+             sdf.filter(F.col("sdf") > max_shingle_df)
+             .select("shingle").collect()])
+        cand = minhash_lsh_candidates(docs, num_hashes, bands, shingle_n,
+                                      text_col, id_col,
+                                      banned_hashes=banned)
+        sh = persist_tracked(
+            raw.join(sdf.filter(F.col("sdf") <= max_shingle_df), "shingle")
+            .select("doc_id", "shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("size"))
     shared = (
         cand.select("doc_a", "doc_b")

@@ -188,7 +188,11 @@ def cosine_near_dup_pairs(
     b_ids = sc.broadcast(ids)
     b_mat = sc.broadcast(mat)
     b_norms = sc.broadcast(norms)
-    margin = threshold - (0.5 * 10.0 ** -(round_dp or 12)) - 1e-12
+    # NB: round_dp=0 is a real setting (integer rounding) — `or` would
+    # treat it as unset and pre-filter at ~threshold, dropping boundary
+    # pairs whose cosine rounds UP to the threshold
+    eff_dp = 12 if round_dp is None else round_dp
+    margin = threshold - (0.5 * 10.0 ** -eff_dp) - 1e-12
 
     def kernel(batches):
         B, Bn, Bi = b_mat.value, b_norms.value, b_ids.value

@@ -786,6 +786,10 @@ def sql_pattern_collocates(pattern: str, head: str,
             pos_n += 1
             if it.label == head_label:
                 break
+    else:
+        # mirror plans.cql.pattern_collocates: fail fast at SQL-generation
+        # time instead of emitting invalid SQL (tNone.pos)
+        raise ValueError(f"no {head_label}: label in pattern")
     items = substitute_at_position(items, head, pos_n)
     steps = _steps(items)
     hi = ci = None
@@ -794,6 +798,9 @@ def sql_pattern_collocates(pattern: str, head: str,
             hi = i
         if st.item.label == colloc_label:
             ci = i
+    if hi is None or ci is None:
+        raise ValueError(
+            f"pattern lacks {head_label}:/{colloc_label}: labeled positions")
     frm = ["tokens t0"]
     for i, st in enumerate(steps[1:], start=1):
         if st.lo == st.hi:

@@ -226,9 +226,12 @@ def word_sketch(
         # stats lookup; without materialization every branch re-derives
         # term_stats (a full-corpus aggregate) and re-scans the token
         # table — persist both once (term_stats is vocab-sized; tokens
-        # is the already-exploded working set)
-        tokens = tokens.persist()
-        term_stats = term_stats.persist()
+        # is the already-exploded working set). Tracked: the session
+        # owner releases via caching.release_all() after the action.
+        from ..caching import persist_tracked
+
+        tokens = persist_tracked(tokens)
+        term_stats = persist_tracked(term_stats)
     from ..operators.proximity import window_pairs
 
     # ordered gaps may be NEGATIVE (collocate strictly BEFORE the head,

@@ -55,7 +55,7 @@ def bm25_topk_df(
     n_docs × (2 + |terms|) ints — tiny next to the corpus — and the
     corpus itself is scanned once instead of three times.
     """
-    from pyspark import StorageLevel
+    from ..caching import persist_tracked
 
     # dedupe preserving order; tf/df columns are positional
     seen: set[str] = set()
@@ -63,8 +63,8 @@ def bm25_topk_df(
     tokens = explode_tokens(pages, doc_id_col, text_col)
     tf_cols = [F.count(F.when(F.col("term") == t, True)).alias(f"tf_{i}")
                for i, t in enumerate(terms)]
-    per_doc = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"), *tf_cols)
-    per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+    per_doc = persist_tracked(
+        tokens.groupBy("doc_id").agg(F.count("*").alias("dl"), *tf_cols))
     stats = per_doc.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
         *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
