@@ -39,6 +39,12 @@ from word_sketch_lucene_spark.sources.pages import (
 )
 
 FLAGSHIP_TERMS = ["spark", "join"]
+
+
+def _en_catalog():
+    from word_sketch_lucene_spark.plans.relations import EN_CATALOG
+
+    return GrammarCatalog.load(EN_CATALOG)
 POSTINGS_TERMS = ["spark", "customer", "vector"]
 SKETCH_HEAD = "table"
 SEEDS = ["table", "row", "column"]
@@ -49,32 +55,38 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # annotate→render→reparse is the expensive part of the CoNLL-U contract
-# queries; the result is shared across dep_sketch_conllu /
-# dep_sketch_catalog / word_sketch_conllu. localCheckpoint (not persist):
-# survives catalog.clearCache() between bench queries and truncates the
-# 3-stage lineage; blocks are freed by the ContextCleaner on GC.
-_ANN_CACHE: dict[tuple[str, str], DataFrame] = {}
+# queries; the PARSED table is shared across dep_sketch_conllu /
+# dep_sketch_catalog / word_sketch_conllu (each derives its shape by a
+# cheap projection). localCheckpoint (not persist): survives
+# catalog.clearCache() between bench queries and truncates the 3-stage
+# lineage; blocks are freed by the ContextCleaner on GC.
+_PARSED_CACHE: dict[tuple[str, str], DataFrame] = {}
+CONLLU_SENT_LEN = 10
 
 
-def _annotated_conllu(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _parsed_conllu(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
-    ann = _ANN_CACHE.get(key)
-    if ann is None:
-        from word_sketch_lucene_spark.operators.dependency import (
-            annotated_from_conllu,
-            rule_annotate,
-        )
+    parsed = _PARSED_CACHE.get(key)
+    if parsed is None:
+        from word_sketch_lucene_spark.operators.dependency import rule_annotate
         from word_sketch_lucene_spark.sources.conllu import (
             parse_conllu_docs,
             to_conllu_text,
         )
 
         toks = explode_tokens(_docs(spark, sf_dir))
-        conllu = to_conllu_text(rule_annotate(toks, sent_len=10))
-        ann = annotated_from_conllu(parse_conllu_docs(conllu)) \
-            .localCheckpoint(eager=True)
-        _ANN_CACHE[key] = ann
-    return ann
+        conllu = to_conllu_text(rule_annotate(toks, sent_len=CONLLU_SENT_LEN))
+        parsed = parse_conllu_docs(conllu).localCheckpoint(eager=True)
+        _PARSED_CACHE[key] = parsed
+    return parsed
+
+
+def _annotated_conllu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from word_sketch_lucene_spark.operators.dependency import (
+        annotated_from_conllu,
+    )
+
+    return annotated_from_conllu(_parsed_conllu(spark, sf_dir))
 
 
 # --------------------------------------------------------------- queries
@@ -211,6 +223,27 @@ def q_dep_sketch_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = GrammarCatalog.load().by_id["dep_nsubj"]
     return dependency_sketch_catalog(ann, lemma_stats, "scan", rel,
                                      limit=20, round_dp=4)
+
+
+def q_word_sketch_conllu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 over REAL CoNLL-U layers with the ported 69-relation English
+    catalog: SURFACE relations with xpos/lemma constraints (reference
+    grammars/relations.json patterns) run by the CQL compiler against
+    the parsed lemma/xpos columns — head_pos=NOUN mirrors the
+    reference's ?head_pos= relation filter."""
+    from word_sketch_lucene_spark.plans.relations import (
+        EN_CATALOG,
+        word_sketch_patterns,
+    )
+    from word_sketch_lucene_spark.sources.conllu import layer_tokens
+
+    lt = layer_tokens(_parsed_conllu(spark, sf_dir),
+                      sent_len=CONLLU_SENT_LEN)
+    lemma_stats = lt.groupBy(F.col("lemma").alias("term")) \
+        .agg(F.count("*").alias("cf"))
+    return word_sketch_patterns(
+        lt, lemma_stats, SKETCH_HEAD, GrammarCatalog.load(EN_CATALOG),
+        head_pos="NOUN", limit_per_relation=10, round_dp=4)
 
 
 def q_multiseed_common(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dep_sketch": q_dep_sketch,
         "dep_sketch_conllu": q_dep_sketch_conllu,
         "dep_sketch_catalog": q_dep_sketch_catalog,
+        "word_sketch_conllu": q_word_sketch_conllu,
         "multiseed_common": q_multiseed_common,
         "profile_stats": q_profile_stats,
         "core_collocates": q_core_collocates,
@@ -524,6 +558,8 @@ def oracle_sql() -> dict[str, str]:
         "dep_sketch_conllu": osql.sql_dep_sketch_conllu(SKETCH_HEAD, "amod"),
         "dep_sketch_catalog": osql.sql_dep_sketch_conllu(
             "scan", "nsubj", head_class="VERB", colloc_class="NOUN"),
+        "word_sketch_conllu": osql.sql_word_sketch_conllu(
+            SKETCH_HEAD, _en_catalog(), head_pos="NOUN", k_per_relation=10),
         "multiseed_common": osql.sql_multiseed_common(SEEDS, 1, 2, 50, 2),
         "profile_stats": osql.sql_profile_stats(SEEDS, 1, 2, 50),
         "core_collocates": osql.sql_core_collocates(SEEDS, 1, 2, 50,

@@ -214,3 +214,146 @@ def test_rule_annotate_attachments(spark):
     assert rows["scan"] == (3, "conj")     # previous token
     assert rows["a"] == (6, "det")         # next noun = row @6
     assert rows["row"] == (4, "obj")       # last verb before = scan @4
+
+
+# ---------------------------------------------- EN pattern catalog (ported)
+def test_en_catalog_loads_69_relations():
+    from word_sketch_lucene_spark.plans.relations import EN_CATALOG
+
+    cat = GrammarCatalog.load(EN_CATALOG)
+    assert len(cat.relations) == 69
+    assert len(cat.surface()) == 41 and len(cat.dep()) == 28
+    # every entry is pattern-typed
+    assert all(r.pattern for r in cat.relations)
+    # DEP deprel derived from the pattern's deprel= test
+    assert cat.by_id["dep_nsubj_pass"].deprel == "nsubj:pass"
+    assert cat.by_id["dep_compound_prt"].deprel == "compound:prt"
+
+
+def test_en_catalog_copula_positions():
+    """Copula-style relations place the head label after filler tokens —
+    positions must be derived from the labels, not assumed 1/2."""
+    from word_sketch_lucene_spark.plans.relations import EN_CATALOG
+
+    cat = GrammarCatalog.load(EN_CATALOG)
+    r = cat.by_id["noun_adj_predicates"]  # 1:[NN] [lemma=be|...] 2:[JJ]
+    assert (r.head_position, r.colloc_position) == (1, 3)
+    it = cat.by_id["it_cleft"]  # 2:[word=it] [VB.*] 1:[JJ.*]
+    assert (it.head_position, it.colloc_position) == (3, 1)
+    # dual single-position relation: no 2: label, validation skipped
+    vn = cat.by_id["verb_nouns"]
+    assert vn.dual and vn.colloc_position == 2 and vn.default_slop == 10
+
+
+def test_pattern_pos_group():
+    from word_sketch_lucene_spark.plans.relations import (
+        EN_CATALOG,
+        pattern_pos_group,
+    )
+
+    cat = GrammarCatalog.load(EN_CATALOG)
+    assert pattern_pos_group(cat.by_id["noun_adj_predicates"]) == "NOUN"
+    assert pattern_pos_group(cat.by_id["verb_particles"]) == "VERB"
+    assert pattern_pos_group(cat.by_id["it_cleft"]) == "ADJ"
+    assert pattern_pos_group(cat.by_id["adj_adverbs"]) == "ADJ"
+
+
+def test_pattern_validation_unlabeled_fails(tmp_path):
+    bad = [{"id": "x", "name": "n", "type": "SURFACE",
+            "pattern": '[xpos="NN.*"] [xpos="JJ.*"]'}]
+    p = tmp_path / "rel.json"
+    p.write_text(json.dumps(bad))
+    with pytest.raises(ValueError, match="1: and 2:"):
+        GrammarCatalog.load(p)
+
+
+def test_dep_pattern_without_deprel_fails(tmp_path):
+    bad = [{"id": "x", "name": "n", "type": "DEP",
+            "pattern": '1:[xpos="VB.*"] 2:[xpos="NN.*"]'}]
+    p = tmp_path / "rel.json"
+    p.write_text(json.dumps(bad))
+    with pytest.raises(ValueError, match="deprel"):
+        GrammarCatalog.load(p)
+
+
+@pytest.fixture(scope="module")
+def conllu_layers(spark, docs_small):
+    """Parsed CoNLL-U layer table from the rule annotator round trip."""
+    from word_sketch_lucene_spark.operators.dependency import rule_annotate
+    from word_sketch_lucene_spark.sources.conllu import (
+        layer_tokens,
+        parse_conllu_docs,
+        to_conllu_text,
+    )
+
+    toks = explode_tokens(docs_small)
+    conllu = to_conllu_text(rule_annotate(toks, sent_len=10))
+    return layer_tokens(parse_conllu_docs(conllu), sent_len=10).cache()
+
+
+def test_xpos_round_trips_conllu(conllu_layers):
+    tags = {r["xpos"] for r in conllu_layers.select("xpos").distinct().collect()}
+    assert {"NN", "VB", "JJ", "DT"} <= tags
+    assert "_" not in tags  # xpos rendered, not placeholder-dropped
+
+
+def test_word_sketch_patterns_copula(spark, conllu_layers):
+    """noun_adj_predicates (1:[NN.*] [lemma=be|...] 2:[JJ.*]) finds
+    adjective predicates of a noun head through the copula filler."""
+    from word_sketch_lucene_spark.plans.relations import (
+        EN_CATALOG,
+        word_sketch_patterns,
+    )
+
+    lemma_stats = conllu_layers.groupBy(
+        F.col("lemma").alias("term")).agg(F.count("*").alias("cf"))
+    cat = GrammarCatalog.load(EN_CATALOG)
+    sk = word_sketch_patterns(conllu_layers, lemma_stats, "table", cat,
+                              head_pos="NOUN", limit_per_relation=10,
+                              round_dp=4)
+    rows = sk.collect()
+    rels = {r["relation"] for r in rows}
+    # all rows from NOUN-headed relations
+    from word_sketch_lucene_spark.plans.relations import pattern_pos_group
+
+    noun_headed = {r.id for r in cat.relations
+                   if r.pattern and pattern_pos_group(r) == "NOUN"}
+    assert rels <= noun_headed
+    # dual verb_nouns (slop window) present; collocates are lemmas
+    vn = [r for r in rows if r["relation"] == "verb_nouns"]
+    assert vn and all(not r["colloc_term"].endswith("ss") for r in vn)
+
+
+def test_word_sketch_patterns_layer_positions(spark):
+    """Hand-built layer table: copula pattern matches across the filler,
+    gap pattern []{0,3} spans variable distance, verb_nouns window is
+    unordered."""
+    rows = [
+        # doc 1: "theory is valid" (NN VB JJ) -> noun_adj_predicates
+        (1, 0, "theory", "theory", "NOUN", "NN", "dep"),
+        (1, 1, "is", "be", "VERB", "VB", "cop"),
+        (1, 2, "valid", "valid", "ADJ", "JJ", "amod"),
+        # doc 2: head noun with a verb 3 positions later (verb_subjects gap)
+        (2, 0, "theory", "theory", "NOUN", "NN", "dep"),
+        (2, 1, "x", "x", "X", "XX", "dep"),
+        (2, 2, "y", "y", "X", "XX", "dep"),
+        (2, 3, "holds", "hold", "VERB", "VB", "dep"),
+    ]
+    spark_df = spark.createDataFrame(
+        rows, "doc_id long, pos long, term string, lemma string, "
+              "upos string, xpos string, deprel string")
+    from word_sketch_lucene_spark.plans.cql import pattern_collocates
+
+    lemma_stats = spark_df.groupBy(F.col("lemma").alias("term")) \
+        .agg(F.count("*").alias("cf"))
+    out = pattern_collocates(
+        spark_df, lemma_stats,
+        '1:[xpos="NN.*"] [lemma="be|appear|seem"] 2:[xpos="JJ.*"]',
+        "theory", subst_attr="lemma", colloc_attr="lemma").collect()
+    assert [r["colloc_term"] for r in out] == ["valid"]
+    out2 = pattern_collocates(
+        spark_df, lemma_stats,
+        '2:[xpos="NN.*"] []{0,3} 1:[xpos="VB.*"]',
+        "hold", head_label="1", colloc_label="2",
+        subst_attr="lemma", colloc_attr="lemma").collect()
+    assert [r["colloc_term"] for r in out2] == ["theory"]

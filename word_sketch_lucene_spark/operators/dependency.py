@@ -82,10 +82,13 @@ def rule_annotate(tokens: DataFrame, sent_len: int = 10) -> DataFrame:
     and X attach to the previous token (conj/dep). Unresolved → 0
     (root).
 
-    Output: ``(doc_id, sent_id, token_id, word, lemma, upos, head,
-    deprel)`` — the CoNLL-U column set, ready for
+    Output: ``(doc_id, sent_id, token_id, word, lemma, upos, xpos,
+    head, deprel)`` — the CoNLL-U column set, ready for
     :func:`..sources.conllu.to_conllu_text`. Lemma is a deterministic
-    suffix rule (strip final 's' from 5+-char words).
+    suffix rule (strip final 's' from 5+-char words); xpos is the
+    Penn-ish tag the reference's SURFACE patterns constrain on
+    (``[xpos="NN.*"]`` etc.): NOUN → NN / NNS (plural-s rule),
+    VERB → VB, ADJ → JJ, DET → DT, else XX.
     """
     from pyspark.sql import Window
 
@@ -99,6 +102,13 @@ def rule_annotate(tokens: DataFrame, sent_len: int = 10) -> DataFrame:
                F.expr("substring(term, 1, length(term) - 1)"))
         .otherwise(F.col("term")).alias("lemma"),
         wc.alias("upos"),
+        F.when(wc == "NOUN",
+               F.when((F.length("term") > 4) & F.col("term").endswith("s"),
+                      F.lit("NNS")).otherwise(F.lit("NN")))
+        .when(wc == "VERB", F.lit("VB"))
+        .when(wc == "ADJ", F.lit("JJ"))
+        .when(wc == "DET", F.lit("DT"))
+        .otherwise(F.lit("XX")).alias("xpos"),
     )
     w = Window.partitionBy("doc_id", "sent_id").orderBy("token_id")
     next_noun = F.min(
@@ -126,7 +136,7 @@ def rule_annotate(tokens: DataFrame, sent_len: int = 10) -> DataFrame:
         .otherwise(F.lit("dep"))
     )
     return base.select(
-        "doc_id", "sent_id", "token_id", "word", "lemma", "upos",
+        "doc_id", "sent_id", "token_id", "word", "lemma", "upos", "xpos",
         F.coalesce(head, F.lit(0)).cast("int").alias("head"),
         deprel.alias("deprel"))
 

@@ -296,6 +296,131 @@ ORDER BY logdice DESC, dep_term ASC LIMIT {k}
 """.strip()
 
 
+# layer routing for CoNLL-U oracle CTEs — SQL mirror of plans.cql.DEFAULT_LAYERS
+CONLLU_SQL_LAYERS = {"word": "term", "term": "term", "lemma": "lemma",
+                     "upos": "upos", "xpos": "xpos", "deprel": "deprel",
+                     "pos": "upos", "tag": "xpos"}
+
+
+def _conllu_layer_cte() -> str:
+    """Flat-position multi-layer CTE: the oracle twin of
+    ``rule_annotate`` (lemma/upos/xpos rules) → ``layer_tokens`` (flat
+    pos). The Spark side additionally round-trips through rendered
+    CoNLL-U text and the production parser, so a match proves the whole
+    route."""
+    wc = _wclass_case("term")
+    plural = "length(term) > 4 AND term LIKE '%s'"
+    return f"""
+ann AS (
+  SELECT doc_id, pos, term,
+         CASE WHEN {plural}
+              THEN substr(term, 1, length(term) - 1) ELSE term END AS lemma,
+         {wc} AS upos,
+         CASE WHEN {wc} = 'NOUN' THEN
+                CASE WHEN {plural} THEN 'NNS' ELSE 'NN' END
+              WHEN {wc} = 'VERB' THEN 'VB'
+              WHEN {wc} = 'ADJ' THEN 'JJ'
+              WHEN {wc} = 'DET' THEN 'DT'
+              ELSE 'XX' END AS xpos
+  FROM tokens)
+""".strip()
+
+
+def sql_word_sketch_conllu(head: str, catalog, head_pos: str | None = None,
+                           k_per_relation: int = 10,
+                           relation_types: tuple[str, ...] = ("SURFACE",)
+                           ) -> str:
+    """Oracle for ``plans.relations.word_sketch_patterns`` over the
+    CoNLL-U layer table: the SAME catalog enumeration (incl. the
+    ``head_pos`` group filter and the dual-window branch) generates one
+    UNION ALL subquery per relation, each substituting
+    ``lemma="head"`` at the head position and counting distinct
+    (doc, head-pos, colloc-pos) lemma pairs."""
+    from .plans.cql import TokenItem, _steps, parse_cql, substitute_at_position
+    from .plans.relations import pattern_pos_group
+
+    rels = [r for r in catalog.relations
+            if r.pattern and r.type in relation_types]
+    if head_pos is not None:
+        rels = [r for r in rels if pattern_pos_group(r) == head_pos]
+    score_tail = f"""
+ JOIN cf c ON p.colloc_term = c.term
+ CROSS JOIN (SELECT cf AS head_cf FROM cf WHERE term = '{head}') h
+ ORDER BY logdice DESC, colloc_term ASC LIMIT {k_per_relation})
+""".rstrip()
+    score_head = f"""
+        round({_LOGDICE.format(fab="pair_freq", fa="head_cf", fb="c.cf")}, 4)
+          AS logdice,
+        round(pair_freq / CAST(head_cf AS DOUBLE), 4) AS rel_freq
+""".strip()
+    branches = []
+    for rel in rels:
+        items = parse_cql(rel.pattern)
+        token_items = [it for it in items if isinstance(it, TokenItem)]
+        labels = {it.label for it in token_items if it.label}
+        if rel.dual and "2" not in labels:
+            citem = token_items[rel.head_position - 1]
+            tests = " AND ".join(
+                _cql_test_sql(t, "cc", CONLLU_SQL_LAYERS)
+                for t in citem.tests) or "TRUE"
+            branches.append(f"""
+(SELECT '{rel.id}' AS relation, colloc_term, pair_freq,
+        {score_head}
+ FROM (SELECT colloc_term, count(*) AS pair_freq
+       FROM (SELECT DISTINCT hh.doc_id, hh.pos AS hp, cc.pos AS cp,
+                    cc.lemma AS colloc_term
+             FROM ann hh JOIN ann cc ON hh.doc_id = cc.doc_id
+              AND abs(cc.pos - hh.pos) BETWEEN 1 AND {rel.default_slop}
+             WHERE hh.lemma = '{head}' AND {tests})
+       GROUP BY colloc_term) p
+{score_tail}
+""".strip())
+            continue
+        subst = substitute_at_position(items, head, rel.head_position,
+                                       attr="lemma")
+        steps = _steps(subst)
+        hi = ci = None
+        for i, st in enumerate(steps):
+            if st.item.label == "1":
+                hi = i
+            if st.item.label == "2":
+                ci = i
+        if hi is None or ci is None:
+            raise ValueError(f"relation {rel.id}: pattern lacks 1:/2: labels")
+        frm = ["ann t0"]
+        for i, st in enumerate(steps[1:], start=1):
+            if st.lo == st.hi:
+                gap = f"t{i}.pos = t{i - 1}.pos + {st.lo}"
+            else:
+                gap = (f"t{i}.pos BETWEEN t{i - 1}.pos + {st.lo} "
+                       f"AND t{i - 1}.pos + {st.hi}")
+            conds = [f"t{i}.doc_id = t0.doc_id", gap]
+            conds += [_cql_test_sql(t, f"t{i}", CONLLU_SQL_LAYERS)
+                      for t in st.item.tests]
+            frm.append(f"JOIN ann t{i} ON {' AND '.join(conds)}")
+        where = " AND ".join(_cql_test_sql(t, "t0", CONLLU_SQL_LAYERS)
+                             for t in steps[0].item.tests) or "TRUE"
+        frm_sql = "\n        ".join(frm)
+        branches.append(f"""
+(SELECT '{rel.id}' AS relation, colloc_term, pair_freq,
+        {score_head}
+ FROM (SELECT colloc_term, count(*) AS pair_freq
+       FROM (SELECT DISTINCT t0.doc_id, t{hi}.pos AS hp, t{ci}.pos AS cp,
+                    t{ci}.lemma AS colloc_term
+             FROM {frm_sql}
+             WHERE {where})
+       GROUP BY colloc_term) p
+{score_tail}
+""".strip())
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH {TOKENS_CTE},
+{_conllu_layer_cte()},
+cf AS (SELECT lemma AS term, count(*) AS cf FROM ann GROUP BY lemma)
+{union}
+""".strip()
+
+
 def sql_multiseed_common(seeds: list[str], min_gap: int = 1, max_gap: int = 2,
                          limit_per_seed: int = 50, min_shared: int = 2) -> str:
     """SO1/A7/A8: per-seed top collocates → shared-count intersection."""
@@ -713,9 +838,19 @@ WHERE rank <= {k}
 
 
 # ------------------------------------------------------------- mini-BCQL
-def _cql_test_sql(test, alias: str) -> str:
-    """SQL twin of ``plans.cql._test_col`` (same literal fast path)."""
-    if test.attr == "class":
+def _cql_test_sql(test, alias: str, layers: dict[str, str] | None = None) -> str:
+    """SQL twin of ``plans.cql._test_col`` (same literal fast path).
+
+    ``layers`` routes attribute names to CTE columns (the SQL mirror of
+    ``plans.cql.DEFAULT_LAYERS`` over a multi-layer annotated table);
+    without it, every attribute matches the surface ``term`` layer (the
+    plain-documents oracle)."""
+    if layers is not None:
+        if test.attr not in layers:
+            raise ValueError(f"pattern attribute {test.attr!r} not in "
+                             f"layer map (available: {sorted(layers)})")
+        col = f"{alias}.{layers[test.attr]}"
+    elif test.attr == "class":
         col = _wclass_case(f"{alias}.term")  # virtual word-class layer
     else:
         col = f"{alias}.term"  # documents-table oracle: 'word' layer

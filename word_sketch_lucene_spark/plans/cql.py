@@ -253,12 +253,16 @@ def compile_cql(
     tokens: DataFrame,
     pattern: str | list[TokenItem | GapItem],
     keep_terms: bool = True,
+    capture_attrs: tuple[str, ...] = (),
 ) -> DataFrame:
     """Compile a pattern to the DataFrame of its matches.
 
     Output: one row per distinct match assignment —
     ``(doc_id, start, end)`` plus, per labeled position L,
-    ``pos_L`` (token position) and ``term_L`` (matched surface term).
+    ``pos_L`` (token position) and ``term_L`` (matched surface term),
+    plus ``{attr}_L`` for each attr in ``capture_attrs`` (extra
+    annotation layers — e.g. the matched lemma — captured at labeled
+    positions only).
 
     Plan: filtered token projections chained by positional joins —
     fixed-offset steps are pure equi-joins on ``(doc_id, pos)``;
@@ -272,6 +276,9 @@ def compile_cql(
         sel = [F.col("doc_id").alias(f"d{i}"), F.col("pos").alias(f"p{i}")]
         if keep_terms:
             sel.append(F.col("term").alias(f"t{i}"))
+        if item.label is not None:
+            for a in capture_attrs:
+                sel.append(_resolve_col(a, cols).alias(f"x_{a}_{i}"))
         return tokens.filter(_item_predicate(item, cols)).select(*sel)
 
     cur = _side(0, steps[0].item)
@@ -294,6 +301,9 @@ def compile_cql(
             out_cols.append(F.col(f"p{i}").alias(f"pos_{st.item.label}"))
             if keep_terms:
                 out_cols.append(F.col(f"t{i}").alias(f"term_{st.item.label}"))
+            for a in capture_attrs:
+                out_cols.append(
+                    F.col(f"x_{a}_{i}").alias(f"{a}_{st.item.label}"))
     return cur.select(*out_cols).distinct()
 
 
@@ -315,15 +325,22 @@ def pattern_collocates(
     min_logdice: float = 0.0,
     limit: int = 20,
     round_dp: int | None = None,
+    subst_attr: str = "word",
+    colloc_attr: str | None = None,
 ) -> DataFrame:
     """Collocates via a labeled pattern with the head substituted into
     the ``1:`` position — ``CollocateQueryHelper.java:197-270``: parse,
     substitute lemma, count per distinct collocate at the ``2:`` label,
     rank by logDice. Counting unit = distinct (doc, head-pos,
     colloc-pos) match pair, so multiple gap widths of the same pair
-    count once (span dedup, as in hit-based counting)."""
-    from ..functions.scoring import logdice_expr, rel_freq_expr
+    count once (span dedup, as in hit-based counting).
 
+    ``subst_attr``/``colloc_attr`` select the annotation layer: the
+    reference injects ``lemma="head"`` and groups collocates by lemma
+    (``CqlUtils.injectLemmaConstraint``) — pass ``subst_attr="lemma",
+    colloc_attr="lemma"`` over a CoNLL-U layer table (with
+    ``term_stats`` keyed on the same layer); the defaults keep the
+    surface-term behavior for plain corpora."""
     items = parse_cql(pattern)
     pos_n = 0
     for it in items:
@@ -333,11 +350,32 @@ def pattern_collocates(
                 break
     else:
         raise ValueError(f"no {head_label}: label in pattern")
-    items = substitute_at_position(items, head, pos_n)
-    matches = compile_cql(tokens, items)
+    items = substitute_at_position(items, head, pos_n, attr=subst_attr)
+    capture = (colloc_attr,) if colloc_attr else ()
+    matches = compile_cql(tokens, items, capture_attrs=capture)
+    colloc_col = (f"{colloc_attr}_{colloc_label}" if colloc_attr
+                  else f"term_{colloc_label}")
     pairs = matches.select(
         "doc_id", f"pos_{head_label}", f"pos_{colloc_label}",
-        F.col(f"term_{colloc_label}").alias("colloc_term")).distinct()
+        F.col(colloc_col).alias("colloc_term")).distinct()
+    return score_collocate_pairs(pairs, term_stats, head,
+                                 min_logdice=min_logdice, limit=limit,
+                                 round_dp=round_dp)
+
+
+def score_collocate_pairs(
+    pairs: DataFrame,
+    term_stats: DataFrame,
+    head: str,
+    min_logdice: float = 0.0,
+    limit: int = 20,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Distinct match-pair rows (…, ``colloc_term``) → logDice-ranked
+    top-k ``(colloc_term, pair_freq, logdice, rel_freq)`` — the scoring
+    tail shared by every pattern/window relation branch."""
+    from ..functions.scoring import logdice_expr, rel_freq_expr
+
     grouped = pairs.groupBy("colloc_term").agg(F.count("*").alias("pair_freq"))
     head_cf = term_stats.filter(F.col("term") == head).select(
         F.col("cf").alias("head_cf"))

@@ -23,6 +23,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_CATALOG = Path(__file__).resolve().parents[2] / "grammars" / "relations.json"
+# full port of the reference's 69-relation English catalog
+# (reference grammars/relations.json:1-553): BCQL patterns over
+# lemma/xpos/deprel layers, executed by the plans.cql compiler
+EN_CATALOG = Path(__file__).resolve().parents[2] / "grammars" / "relations_en.json"
 
 # word classes for the synthetic/driver corpora (the engine analog of
 # xpos constraints like [xpos="NN.*"]; a real deployment generates these
@@ -70,6 +74,9 @@ class RelationConfig:
     dual: bool = False
     pattern: str | None = None  # BCQL pattern (labeled 1:/2:) — compiled
     description: str = ""      # via plans.cql instead of the window join
+    default_slop: int = 10     # reference GrammarConfigLoader.java:204
+    head_position: int = 1     # 1-based pattern token index of the head
+    colloc_position: int = 2   # ... and of the collocate
     extra: dict = field(default_factory=dict)
 
     def head_filter(self) -> Column | None:
@@ -96,11 +103,18 @@ class GrammarCatalog:
     @classmethod
     def load(cls, path: str | Path = DEFAULT_CATALOG) -> "GrammarCatalog":
         raw = json.loads(Path(path).read_text())
+        if isinstance(raw, dict) and "relations" in raw:
+            # reference wrapper form ({version, description, relations})
+            raw = raw["relations"]
         if not isinstance(raw, list):
-            raise ValueError("relations catalog must be a JSON array")
+            raise ValueError("relations catalog must be a JSON array "
+                             "or an object with a 'relations' array")
         seen: set[str] = set()
         rels = []
         for i, obj in enumerate(raw):
+            obj = dict(obj)
+            if "relation_type" in obj:  # reference field-name alias
+                obj.setdefault("type", obj.pop("relation_type"))
             missing = cls.REQUIRED - obj.keys()
             if missing:
                 raise ValueError(f"relation #{i}: missing fields {sorted(missing)}")
@@ -108,28 +122,19 @@ class GrammarCatalog:
                 raise ValueError(f"duplicate relation id: {obj['id']}")
             if obj["type"] not in ("SURFACE", "DEP"):
                 raise ValueError(f"relation {obj['id']}: bad type {obj['type']}")
-            if obj["type"] == "DEP" and not obj.get("deprel"):
-                raise ValueError(f"relation {obj['id']}: DEP requires deprel")
-            lo = obj.get("min_gap", 1)
-            hi = obj.get("max_gap", 5)
-            # ordered gaps may be negative (collocate before head) but a
-            # range spanning 0 would match the head position itself
-            if lo > hi or lo <= 0 <= hi:
-                raise ValueError(
-                    f"relation {obj['id']}: bad gap range [{lo},{hi}] "
-                    f"(must not span 0; negative = before the head)")
             if obj.get("pattern"):
-                # hard error on unparseable patterns at load time, like
-                # the reference's GrammarConfigLoader (fail fast, not at
-                # query time); labels 1:/2: must both be present
-                from .cql import TokenItem, parse_cql
-
-                items = parse_cql(obj["pattern"])
-                labels = {it.label for it in items
-                          if isinstance(it, TokenItem) and it.label}
-                if not {"1", "2"} <= labels:
+                cls._validate_pattern(obj)
+            else:
+                if obj["type"] == "DEP" and not obj.get("deprel"):
+                    raise ValueError(f"relation {obj['id']}: DEP requires deprel")
+                lo = obj.get("min_gap", 1)
+                hi = obj.get("max_gap", 5)
+                # ordered gaps may be negative (collocate before head) but a
+                # range spanning 0 would match the head position itself
+                if lo > hi or lo <= 0 <= hi:
                     raise ValueError(
-                        f"relation {obj['id']}: pattern needs 1: and 2: labels")
+                        f"relation {obj['id']}: bad gap range [{lo},{hi}] "
+                        f"(must not span 0; negative = before the head)")
             seen.add(obj["id"])
             known = {f for f in RelationConfig.__dataclass_fields__ if f != "extra"}
             rels.append(RelationConfig(
@@ -138,11 +143,166 @@ class GrammarCatalog:
             ))
         return cls(rels)
 
+    @staticmethod
+    def _validate_pattern(obj: dict) -> None:
+        """Pattern-typed relation checks, mirroring the reference's
+        ``GrammarConfigLoader.validatePositions`` (java:211-221): hard
+        error on unparseable patterns at load time; labeled 1:/2:
+        positions required — except ``dual`` relations, whose pattern is
+        the COLLOCATE constraint alone (reference skips position
+        validation for dual; see ``verb_nouns``). DEP patterns must
+        carry a ``deprel=`` test (the reference's ``deriveDeprel``),
+        which also fills the relation's ``deprel`` field for routing.
+        """
+        from .cql import TokenItem, parse_cql
+
+        rid = obj["id"]
+        items = parse_cql(obj["pattern"])
+        token_items = [it for it in items if isinstance(it, TokenItem)]
+        labels = {it.label for it in token_items if it.label}
+        if obj.get("dual"):
+            if "1" not in labels and "2" not in labels:
+                raise ValueError(
+                    f"relation {rid}: dual pattern needs a labeled position")
+        elif not {"1", "2"} <= labels:
+            raise ValueError(f"relation {rid}: pattern needs 1: and 2: labels")
+        # derive 1-based token positions of the labels (reference
+        # deriveTokenPosition, defaults 1/2 when a label is absent)
+        for label, fld, default in (("1", "head_position", 1),
+                                    ("2", "colloc_position", 2)):
+            pos = next((n for n, it in enumerate(token_items, start=1)
+                        if it.label == label), default)
+            obj.setdefault(fld, pos)
+        if obj["type"] == "DEP" and not obj.get("deprel"):
+            dep = next((t.value for it in token_items for t in it.tests
+                        if t.attr == "deprel" and not t.negated), None)
+            if dep is None:
+                raise ValueError(
+                    f"relation {rid}: DEP pattern must constrain deprel")
+            obj["deprel"] = dep
+
     def surface(self) -> list[RelationConfig]:
         return [r for r in self.relations if r.type == "SURFACE"]
 
     def dep(self) -> list[RelationConfig]:
         return [r for r in self.relations if r.type == "DEP"]
+
+
+_XPOS_GROUPS = (("NNP", "NOUN"), ("NN", "NOUN"), ("VB", "VERB"),
+                ("JJ", "ADJ"), ("RB", "ADV"), ("PRP", "PRON"))
+
+
+def pattern_pos_group(rel: RelationConfig, position: int | None = None) -> str:
+    """POS group of the pattern token at ``position`` (default: the head
+    position) — mirror of the reference's
+    ``RelationUtils.computeHeadPosGroup`` (xpos prefix → group), used to
+    select which relations apply to a NOUN/VERB/ADJ-headed sketch."""
+    from .cql import TokenItem, parse_cql
+
+    if not rel.pattern:
+        return rel.head_class or "OTHER"
+    items = [it for it in parse_cql(rel.pattern) if isinstance(it, TokenItem)]
+    pos = rel.head_position if position is None else position
+    if not 1 <= pos <= len(items):
+        return "OTHER"
+    for t in items[pos - 1].tests:
+        if t.attr in ("xpos", "tag") and not t.negated:
+            for pref, grp in _XPOS_GROUPS:
+                if t.value.startswith(pref):
+                    return grp
+        if t.attr in ("upos", "pos") and not t.negated:
+            return t.value
+    return "OTHER"
+
+
+def word_sketch_patterns(
+    tokens: DataFrame,
+    term_stats: DataFrame,
+    head: str,
+    catalog: GrammarCatalog,
+    head_pos: str | None = None,
+    subst_attr: str = "lemma",
+    colloc_attr: str | None = "lemma",
+    limit_per_relation: int = 10,
+    min_logdice: float = 0.0,
+    round_dp: int | None = None,
+    relation_types: tuple[str, ...] = ("SURFACE",),
+) -> DataFrame:
+    """Full word sketch over a PATTERN catalog (the ported 69-relation
+    English grammar): for every applicable relation, substitute the head
+    lemma into the pattern's head position and rank the collocates at
+    the collocate label — the reference's
+    ``SketchHandlers.handleFullSketchForType`` fan-out
+    (``SketchHandlers.java:127-143``), with ``head_pos`` as the
+    ``?head_pos=`` filter (``surfaceRelationFilter``).
+
+    ``tokens`` is a multi-layer table (``sources.conllu.layer_tokens``
+    shape: doc_id, pos, term, lemma, upos, xpos, deprel); ``term_stats``
+    must be keyed on the same layer as ``colloc_attr``.
+
+    ``dual`` single-position relations (reference ``verb_nouns``) have
+    no collocate label: the pattern IS the collocate constraint, matched
+    within ``default_slop`` tokens of the head on either side (the
+    reference skips position validation for these — the loose-proximity
+    reading of its "nearby nouns within a wider window").
+    """
+    from ..caching import persist_tracked
+    from .cql import (
+        TokenItem,
+        _item_predicate,
+        _resolve_col,
+        parse_cql,
+        pattern_collocates,
+        score_collocate_pairs,
+    )
+
+    rels = [r for r in catalog.relations
+            if r.pattern and r.type in relation_types]
+    if head_pos is not None:
+        rels = [r for r in rels if pattern_pos_group(r) == head_pos]
+    if len(rels) > 1:
+        # every branch re-reads the token table and the stats lookup
+        tokens = persist_tracked(tokens)
+        term_stats = persist_tracked(term_stats)
+    out = None
+    cols = tokens.columns
+    for rel in rels:
+        items = [it for it in parse_cql(rel.pattern)
+                 if isinstance(it, TokenItem)]
+        labels = {it.label for it in items if it.label}
+        if rel.dual and "2" not in labels:
+            citem = items[rel.head_position - 1]
+            heads = tokens.filter(
+                _resolve_col(subst_attr, cols) == head
+            ).select("doc_id", F.col("pos").alias("hp"))
+            cterm = _resolve_col(colloc_attr or "word", cols)
+            collocs = tokens.filter(_item_predicate(citem, cols)).select(
+                "doc_id", F.col("pos").alias("cp"),
+                cterm.alias("colloc_term"))
+            pairs = (
+                heads.join(collocs, "doc_id")
+                .filter(F.abs(F.col("cp") - F.col("hp"))
+                        .between(1, rel.default_slop))
+                .select("doc_id", "hp", "cp", "colloc_term").distinct()
+            )
+            b = score_collocate_pairs(pairs, term_stats, head,
+                                      min_logdice=min_logdice,
+                                      limit=limit_per_relation,
+                                      round_dp=round_dp)
+        else:
+            b = pattern_collocates(
+                tokens, term_stats, rel.pattern, head,
+                min_logdice=min_logdice, limit=limit_per_relation,
+                round_dp=round_dp, subst_attr=subst_attr,
+                colloc_attr=colloc_attr)
+        b = b.select(F.lit(rel.id).alias("relation"), "colloc_term",
+                     "pair_freq", "logdice", "rel_freq")
+        out = b if out is None else out.unionByName(b)
+    if out is None:
+        return tokens.sparkSession.createDataFrame(
+            [], "relation string, colloc_term string, pair_freq long, "
+                "logdice double, rel_freq double")
+    return out
 
 
 @dataclass

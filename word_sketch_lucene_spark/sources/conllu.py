@@ -108,12 +108,14 @@ def to_conllu_text(ann: DataFrame, id_col: str = "doc_id") -> DataFrame:
     blank line between sentences), built with pure Catalyst string ops.
 
     Input columns: ``doc_id, sent_id, token_id, word, lemma, upos,
-    head, deprel``.
+    head, deprel`` (+ optional ``xpos``, rendered into column 5 so
+    xpos-constrained SURFACE patterns survive the round trip).
     """
+    xpos = F.col("xpos") if "xpos" in ann.columns else F.lit("_")
     line = F.concat_ws(
         "\t",
         F.col("token_id").cast("string"), "word", "lemma", "upos",
-        F.lit("_"), F.lit("_"), F.col("head").cast("string"), "deprel")
+        xpos, F.lit("_"), F.col("head").cast("string"), "deprel")
     per_sent = (
         ann.withColumn("line", line)
         .groupBy(id_col, "sent_id")
@@ -131,6 +133,33 @@ def to_conllu_text(ann: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 lambda s: s["sent_text"]),
             "\n\n").alias("conllu"))
     )
+
+
+def layer_tokens(parsed: DataFrame, sent_len: int | None = None) -> DataFrame:
+    """Parsed CoNLL-U table → flat multi-layer token table for the CQL
+    compiler: ``(doc_id, pos, term, lemma, upos, xpos, deprel)`` with a
+    corpus-flat 0-based ``pos`` per document (sentence order preserved,
+    so surface patterns span sentence boundaries exactly like the
+    reference's flat Lucene token stream).
+
+    ``sent_len`` (fixed pseudo-sentence length) computes pos
+    arithmetically; otherwise a per-document window numbers tokens —
+    partitioned by doc_id, so at 100 TB it is a per-doc sort, never a
+    global shuffle to one partition.
+    """
+    if sent_len is not None:
+        pos = (F.col("sent_id") * sent_len + F.col("token_id") - 1) \
+            .cast("long")
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy("sent_id", "token_id")
+        pos = (F.row_number().over(w) - 1).cast("long")
+    return parsed.select(
+        "doc_id", pos.alias("pos"),
+        F.lower(F.col("word")).alias("term"),
+        F.lower(F.col("lemma")).alias("lemma"),
+        "upos", "xpos", "deprel")
 
 
 def conllu_boilerplate_filter(tokens: DataFrame, prefixes: tuple[str, ...],
