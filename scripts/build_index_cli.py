@@ -53,13 +53,13 @@ def main() -> None:
     else:
         pages = spark.read.parquet(args.input)
         if args.id_col not in pages.columns:
-            from pyspark.sql import functions as F
+            # two-phase distributed id assignment — a global
+            # row_number() window would shuffle the 100-TB ingest to
+            # ONE task (see sources.pages.assign_doc_ids)
+            from word_sketch_lucene_spark.sources.pages import assign_doc_ids
 
-            pages = pages.withColumn(
-                args.id_col,
-                F.row_number().over(__import__(
-                    "pyspark.sql.window", fromlist=["Window"]
-                ).Window.orderBy("url")).cast("long") - 1)
+            order = "url" if "url" in pages.columns else None
+            pages = assign_doc_ids(pages, args.id_col, order_col=order)
         input_paths = [args.input]
 
     t0 = time.perf_counter()

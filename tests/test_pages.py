@@ -63,3 +63,34 @@ def test_zipf_skew_present(spark):
     )
     total = explode_tokens(pages).count()
     assert counts[0]["count"] > total / 50  # t0 carries >2% of all tokens
+
+
+def test_assign_doc_ids_multi_partition(spark):
+    """Dense unique ids at >=2 partitions, no single-partition window
+    (the ingest-CLI scale fix)."""
+    from word_sketch_lucene_spark.sources.pages import assign_doc_ids
+
+    df = spark.range(0, 1000, 1, 8).select(
+        (F.col("id") * 7 % 1000).cast("string").alias("url"),
+        F.lit("x").alias("text"))
+    out = assign_doc_ids(df, "doc_id", order_col="url")
+    ids = [r["doc_id"] for r in out.select("doc_id").collect()]
+    assert sorted(ids) == list(range(1000))
+    # plan gate: every window is partitioned (no "No Partition Defined")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    import re
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pid" in m.group(1)
+
+
+def test_assign_doc_ids_deterministic(spark):
+    from word_sketch_lucene_spark.sources.pages import assign_doc_ids
+
+    df = spark.range(0, 200, 1, 4).select(
+        F.col("id").cast("string").alias("url"), F.lit("t").alias("text"))
+    a = assign_doc_ids(df, "doc_id", order_col="url") \
+        .select("url", "doc_id").collect()
+    b = assign_doc_ids(df, "doc_id", order_col="url") \
+        .select("url", "doc_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

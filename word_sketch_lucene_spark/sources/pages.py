@@ -170,3 +170,45 @@ def boilerplate_filter(df: DataFrame, text_col: str = "text",
         cond = c if cond is None else (cond | c)
     out = df.filter(~cond) if cond is not None else df
     return out.limit(limit) if limit else out
+
+
+def assign_doc_ids(df: DataFrame, id_col: str = "doc_id",
+                   order_col: str | None = None) -> DataFrame:
+    """Dense unique 0-based doc ids WITHOUT a global single-partition
+    window (the classic ingest scale-killer: ``row_number().over(
+    Window.orderBy(...))`` shuffles the whole corpus to ONE task).
+
+    Two-phase zipWithIndex semantics, all distributed:
+    1. count rows per partition (tiny aggregate on
+       ``spark_partition_id``), cumulative-sum the offsets on the
+       driver (O(n_partitions) values);
+    2. per-PARTITION ``row_number`` (each window is one input
+       partition — parallel, spill-safe) + the partition's offset.
+
+    Ids are dense and deterministic for a fixed input layout; ordering
+    is by (partition, ``order_col``) — global order is NOT promised
+    (an index doc id only needs uniqueness + density for delta coding).
+    """
+    from pyspark.sql import Window
+
+    tagged = df.withColumn("_pid", F.spark_partition_id())
+    counts = {r["_pid"]: r["cnt"]
+              for r in tagged.groupBy("_pid")
+              .agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.lit(0).cast("long")
+    if offsets:
+        mapping = F.create_map(
+            *[F.lit(v) for kv in offsets.items() for v in kv])
+        off_expr = mapping[F.col("_pid")].cast("long")
+    order = order_col if order_col is not None else F.monotonically_increasing_id()
+    w = Window.partitionBy("_pid").orderBy(order)
+    return (
+        tagged.withColumn(
+            id_col,
+            (off_expr + F.row_number().over(w) - 1).cast("long"))
+        .drop("_pid")
+    )
