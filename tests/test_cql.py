@@ -152,3 +152,67 @@ def test_fixed_step_is_equi_join_no_nested_loop(toks):
     plan = compile_cql(toks, '[word="spark"] [word="join"]') \
         ._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
+
+
+# ------------------------------------------------- case sensitivity
+def test_sensitivity_flag_dataframe(spark):
+    """[word="(?-i)Spark"] matches case-exactly on the preserved layer;
+    the unflagged test stays insensitive (reference indexes word/lemma
+    as sensitive_insensitive variants)."""
+    rows = [
+        (1, 0, "spark", "spark", "Spark", "Spark"),
+        (1, 1, "spark", "spark", "spark", "spark"),
+        (1, 2, "sql", "sql", "SQL", "SQL"),
+    ]
+    lt = spark.createDataFrame(
+        rows, "doc_id long, pos long, term string, lemma string, "
+              "word_cs string, lemma_cs string")
+    from word_sketch_lucene_spark.plans.cql import compile_cql
+
+    insens = compile_cql(lt, '[word="spark"]').collect()
+    assert {r["start"] for r in insens} == {0, 1}
+    sens = compile_cql(lt, '[word="(?-i)Spark"]').collect()
+    assert {r["start"] for r in sens} == {0}
+    assert compile_cql(lt, '[word="(?-i)spark"]').count() == 1  # pos 1 only
+    regex_sens = compile_cql(lt, '[word="(?-i)S.*"]').collect()
+    assert {r["start"] for r in regex_sens} == {0, 2}
+    lemma_sens = compile_cql(lt, '[lemma="(?-i)Spark"]').collect()
+    assert {r["start"] for r in lemma_sens} == {0}
+
+
+def test_sensitivity_flag_index_side(spark, tmp_path):
+    """(?-i) patterns served index-side from case-preserved layer
+    postings, span-identical to the DataFrame path."""
+    from word_sketch_lucene_spark.index.build import (
+        build_index,
+        build_layer_postings,
+    )
+    from word_sketch_lucene_spark.plans.cql import compile_cql
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    docs = spark.createDataFrame(
+        [(1, "Spark joins the Table"), (2, "spark joins a table")],
+        "doc_id long, text string")
+    root = tmp_path / "cs_idx"
+    build_index(spark, docs, root, doc_salt=1, n_partitions=2)
+    # layer table with case-preserved word (whitespace tokenization of
+    # the raw text keeps case; term = lowered)
+    lt = spark.createDataFrame(
+        [(d, p, w.lower(), w.lower(), w)
+         for d, t in [(1, "Spark joins the Table"), (2, "spark joins a table")]
+         for p, w in enumerate(t.split())],
+        "doc_id long, pos long, term string, lemma string, word_cs string")
+    build_layer_postings(spark, lt, root, layers=("word_cs",),
+                         doc_salt=1, n_partitions=2)
+    s = IndexSearcher(spark, root)
+    for pattern in ['[word="(?-i)Spark"]',
+                    '[word="(?-i)Spark"] [word="joins"]',
+                    '[word="spark"] []{0,2} [word="(?-i)Table"]']:
+        idx = set(s.pattern_hits(pattern))
+        dfp = {(r["doc_id"], r["start"], r["end"])
+               for r in compile_cql(lt, pattern).collect()}
+        assert idx == dfp, pattern
+        assert idx, pattern
+    # sensitive vs insensitive genuinely differ on this corpus
+    assert len(s.pattern_hits('[word="spark"]')) == 2
+    assert len(s.pattern_hits('[word="(?-i)Spark"]')) == 1

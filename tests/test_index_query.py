@@ -173,3 +173,95 @@ def test_index_pattern_hits_match_dataframe_path(spark, index_small,
         assert idx == dfp and idx, pattern
     with pytest.raises(NotImplementedError):
         s.pattern_hits('[word!="spark"]')
+
+
+# ------------------------------------------- multi-layer index patterns
+@pytest.fixture(scope="module")
+def layered(spark, docs_small, tmp_path_factory):
+    """Term index + lemma/upos/xpos/deprel layer postings over the SAME
+    token stream (CoNLL-U route), plus the flat layer table for the
+    DataFrame-path twin."""
+    from word_sketch_lucene_spark.functions.tokenize import explode_tokens
+    from word_sketch_lucene_spark.index.build import (
+        build_index,
+        build_layer_postings,
+    )
+    from word_sketch_lucene_spark.operators.dependency import rule_annotate
+    from word_sketch_lucene_spark.sources.conllu import (
+        layer_tokens,
+        parse_conllu_docs,
+        to_conllu_text,
+    )
+
+    root = tmp_path_factory.mktemp("layered_idx")
+    build_index(spark, docs_small, root, doc_salt=2, n_partitions=4)
+    lt = layer_tokens(
+        parse_conllu_docs(
+            to_conllu_text(rule_annotate(explode_tokens(docs_small),
+                                         sent_len=10))),
+        sent_len=10)
+    # parse returns doc_id as string — restore long ids for span compare
+    lt = lt.withColumn("doc_id", F.col("doc_id").cast("long")).cache()
+    build_layer_postings(spark, lt, root, doc_salt=2, n_partitions=4)
+    return root, lt
+
+
+LAYER_PATTERNS = [
+    '[word="table"] []{0,2} [xpos="JJ.*"]',
+    '[lemma="table"] [upos="VERB"]',
+    '[xpos="NN.*" & word!="table"] [xpos="VB.*"]',   # mixed negation
+    '[word="the"] [word!="fast"] [xpos="NN.*"]',     # pure-negation slot
+    '[upos="DET"] [] [deprel="nsubj"]',
+]
+
+
+def test_layered_pattern_hits_match_dataframe_path(spark, layered):
+    """Index-side multi-layer BCQL (xpos/lemma/upos/deprel constraints,
+    negation incl. complement slots) == the DataFrame compiler over the
+    same layer table, span for span."""
+    from word_sketch_lucene_spark.plans.cql import compile_cql
+
+    root, lt = layered
+    s = IndexSearcher(spark, root)
+    for pattern in LAYER_PATTERNS:
+        idx = set(s.pattern_hits(pattern))
+        dfp = {(r["doc_id"], r["start"], r["end"])
+               for r in compile_cql(lt, pattern).collect()}
+        assert idx == dfp, pattern
+        assert idx, f"pattern matched nothing (weak test): {pattern}"
+
+
+def test_layer_term_dictionary_expansion(spark, layered):
+    root, _ = layered
+    s = IndexSearcher(spark, root)
+    assert set(s.expand_layer_terms("upos", ".*")) >= {"NOUN", "VERB",
+                                                       "ADJ", "DET"}
+    assert s.expand_layer_terms("xpos", "NN.*") == ["NN"] or \
+        set(s.expand_layer_terms("xpos", "NN.*")) <= {"NN", "NNS"}
+
+
+def test_pattern_hits_auto_fallback_identical(spark, index_small, docs_small):
+    """Vocabulary-wide slot: the Σdf budget routes to the DataFrame
+    fallback over the forward index; spans must equal the (uncapped)
+    DataFrame path, and pattern_cost must flag the hot slot."""
+    from word_sketch_lucene_spark.functions.tokenize import explode_tokens
+    from word_sketch_lucene_spark.plans.cql import compile_cql
+
+    s = IndexSearcher(spark, index_small)
+    hot = '[word="[a-z0-9]+"] [word="table"]'
+    cost, capped = s.pattern_cost(hot, max_terms_per_slot=4)
+    assert cost > 0 and capped
+    expected = {(r["doc_id"], r["start"], r["end"])
+                for r in compile_cql(explode_tokens(docs_small),
+                                     hot).collect()}
+    got = set(s.pattern_hits_auto(hot, df_budget=1))  # force fallback
+    assert got == expected and got
+    # under budget: auto == direct index path
+    cheap = '[word="spark"] [word="j.*"]'
+    assert set(s.pattern_hits_auto(cheap)) == set(s.pattern_hits(cheap))
+
+
+def test_pure_negative_pattern_still_dataframe_only(spark, index_small):
+    s = IndexSearcher(spark, index_small)
+    with pytest.raises(NotImplementedError):
+        s.pattern_hits('[word!="spark"] [word!="join"]')

@@ -76,8 +76,99 @@ class IndexPaths:
         self.doc_lens = self.root / "doc_lens"
         self.term_stats = self.root / "term_stats"
         self.segments = self.root / "segments"
+        self.layers = self.root / "layers"
+        self.layer_stats = self.root / "layer_stats"
         self.docstore = self.root / "docstore"
         self.stats = self.root / STATS_FILE
+
+
+# annotation layers indexable beside the surface term layer — the
+# reference indexes word/lemma/upos/xpos/deprel as parallel searchable
+# Lucene fields (conllu-sentences.blf.yaml:18-74)
+DEFAULT_EXTRA_LAYERS = ("lemma", "upos", "xpos", "deprel")
+
+
+def build_layer_postings(
+    spark: SparkSession,
+    layer_tokens: DataFrame,
+    out_dir: str | Path,
+    *,
+    layers: tuple[str, ...] = DEFAULT_EXTRA_LAYERS,
+    doc_salt: int = 4,
+    n_partitions: int | None = None,
+    block_size: int = BLOCK_SIZE,
+    input_paths: list[str] | None = None,
+) -> None:
+    """Positional postings for EXTRA annotation layers (lemma/upos/
+    xpos/deprel), the Lucene multi-field analog: each layer value is
+    keyed ``"<layer>:<value>"`` so the SAME segment kernel, codec, and
+    block-max layout serve every layer, and one parquet dataset holds
+    them all (predicate pushdown on the prefixed key prunes to one
+    layer's postings, exactly like a Lucene per-field terms dictionary).
+
+    ``layer_tokens``: ``(doc_id, pos, <layer columns>)`` — the
+    ``sources.conllu.layer_tokens`` shape. Plan: one window count for
+    dl (per-doc, co-partitioned), a ``stack`` melt (|layers|× rows —
+    the honest cost of indexing N fields), then the same ONE salted
+    shuffle as the term index.
+    """
+    from pyspark.sql import Window
+
+    paths = IndexPaths(out_dir)
+    paths.root.mkdir(parents=True, exist_ok=True)
+    nparts = n_partitions or spark.sparkContext.defaultParallelism
+    config = {"doc_salt": doc_salt, "n_partitions": nparts,
+              "block_size": block_size, "layers": list(layers)}
+    cfg_fp = config_fingerprint(config)
+    inputs_fp = input_fingerprint(input_paths) if input_paths else "unspecified"
+
+    st = StageManifest(paths.layers, "layers")
+    if not st.is_complete(inputs_fp, cfg_fp):
+        missing = [c for c in layers if c not in layer_tokens.columns]
+        if missing:
+            raise ValueError(f"layer columns not in input: {missing}")
+        dl_w = Window.partitionBy("doc_id")
+        stack_args = ", ".join(f"'{c}', {c}" for c in layers)
+        melted = (
+            layer_tokens
+            .withColumn("dl", F.count("*").over(dl_w).cast("int"))
+            .select(
+                "doc_id", "pos", "dl",
+                F.expr(f"stack({len(layers)}, {stack_args}) "
+                       "AS (layer, value)"))
+            .filter(F.col("value").isNotNull())
+            .select(F.concat_ws(":", "layer", "value").alias("term"),
+                    "doc_id", "pos", "dl")
+        )
+        writer = make_segment_writer(block_size=block_size)
+        (
+            melted
+            .withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(doc_salt)))
+            .repartition(nparts, F.col("term"), F.col("salt"))
+            .sortWithinPartitions("term", "doc_id", "pos")
+            .select(*TOKEN_INPUT_COLUMNS)
+            .mapInPandas(writer, schema=SEGMENT_SCHEMA)
+            .write.mode("overwrite").parquet(str(paths.layers))
+        )
+        st.commit(inputs_fp, cfg_fp,
+                  lineage={"inputs": input_paths or [], "config": config})
+    st_ls = StageManifest(paths.layer_stats, "layer_stats")
+    if not st_ls.is_complete(inputs_fp, cfg_fp):
+        seg = spark.read.parquet(str(paths.layers))
+        (
+            seg.groupBy("term").agg(
+                F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
+            .select(
+                # value may itself contain ':' (deprel "nsubj:pass") —
+                # split ONLY on the first separator
+                F.split_part("term", F.lit(":"), F.lit(1)).alias("layer"),
+                F.expr("substring(term, instr(term, ':') + 1)")
+                .alias("value"),
+                "df", "cf")
+            .write.mode("overwrite").parquet(str(paths.layer_stats))
+        )
+        st_ls.commit(inputs_fp, cfg_fp,
+                     lineage={"derived_from": str(paths.layers)})
 
 
 def build_index(

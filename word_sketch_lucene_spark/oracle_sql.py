@@ -845,6 +845,9 @@ def _cql_test_sql(test, alias: str, layers: dict[str, str] | None = None) -> str
     ``plans.cql.DEFAULT_LAYERS`` over a multi-layer annotated table);
     without it, every attribute matches the surface ``term`` layer (the
     plain-documents oracle)."""
+    from .plans.cql import effective_test
+
+    test = effective_test(test)
     if layers is not None:
         if test.attr not in layers:
             raise ValueError(f"pattern attribute {test.attr!r} not in "

@@ -216,7 +216,27 @@ def _steps(items: list[TokenItem | GapItem]) -> list[_Step]:
 
 DEFAULT_LAYERS = {"word": "term", "term": "term", "lemma": "lemma",
                   "upos": "upos", "xpos": "xpos", "deprel": "deprel",
-                  "pos": "upos", "tag": "xpos"}
+                  "pos": "upos", "tag": "xpos",
+                  # case-SENSITIVE variants (reference indexes
+                  # sensitive_insensitive for word/lemma,
+                  # conllu-sentences.blf.yaml:24,29)
+                  "word_cs": "word_cs", "lemma_cs": "lemma_cs"}
+
+# BlackLab-style sensitivity flag: [word="(?-i)Spark"] matches the
+# case-PRESERVED layer exactly (the flag is stripped here, never passed
+# to the regex engine)
+_SENS_FLAG = "(?-i)"
+_SENS_ROUTE = {"word": "word_cs", "term": "word_cs", "lemma": "lemma_cs"}
+
+
+def effective_test(test: AttrTest) -> AttrTest:
+    """Resolve the sensitivity flag: ``word``/``lemma`` tests whose
+    value starts with ``(?-i)`` are rewritten onto the case-preserved
+    ``*_cs`` layer with the flag stripped."""
+    if test.value.startswith(_SENS_FLAG) and test.attr in _SENS_ROUTE:
+        return AttrTest(_SENS_ROUTE[test.attr],
+                        test.value[len(_SENS_FLAG):], test.negated)
+    return test
 
 
 def _resolve_col(attr: str, columns: list[str]) -> Column:
@@ -245,6 +265,7 @@ def _test_col(test: AttrTest, col: Column) -> Column:
 def _item_predicate(item: TokenItem, columns: list[str]) -> Column:
     pred = F.lit(True)
     for t in item.tests:
+        t = effective_test(t)
         pred = pred & _test_col(t, _resolve_col(t.attr, columns))
     return pred
 

@@ -116,7 +116,13 @@ class IndexSearcher:
         self.b = self.stats.get("b", B)
         self.segments = spark.read.parquet(str(self.root / "segments"))
         self.term_stats = spark.read.parquet(str(self.root / "term_stats"))
+        # extra annotation-layer postings (index.build.build_layer_postings)
+        lp, ls = self.root / "layers", self.root / "layer_stats"
+        self.layers = spark.read.parquet(str(lp)) if lp.exists() else None
+        self.layer_stats = (spark.read.parquet(str(ls))
+                            if ls.exists() else None)
         self._df_cache: dict[str, int] = {}
+        self._dl_cache: dict[int, int] = {}
         # term → list[block-row dict] cache: the analog of the reference
         # preloading collocations.bin for O(1) lookups (CLAUDE.md:190-196).
         # One pruned parquet scan per *miss set*, pure numpy afterwards.
@@ -196,17 +202,25 @@ class IndexSearcher:
                 cursors.append(BlockCursor(blocks, ti, idf, self.k1, self.b, avgdl))
         return cursors, dfs
 
-    def _postings_with_positions(self, term: str) -> dict[int, "object"]:
+    def _postings_with_positions(self, term: str, layer: str = "term"
+                                 ) -> dict[int, "object"]:
         """doc_id → ascending positions array, merged across segments.
 
         A separate pruned scan fetches ``pos_vb`` only here — BM25
-        queries never read the positions column (column pruning)."""
+        queries never read the positions column (column pruning).
+        ``layer != "term"`` reads the multi-layer postings dataset with
+        the prefixed key (``"<layer>:<value>"``)."""
         import numpy as np
 
         from ..functions.codec import decode_positions, vbyte_decode
 
+        if layer == "term":
+            src, key = self.segments, term
+        else:
+            self._require_layers()
+            src, key = self.layers, f"{layer}:{term}"
         rows = (
-            self.segments.filter(F.col("term") == term)
+            src.filter(F.col("term") == key)
             .select("n", "first_doc", "docs_vb", "pos_vb")
             .collect()
         )
@@ -218,6 +232,43 @@ class IndexSearcher:
             for d, pl in zip(docs, pls):
                 out[int(d)] = pl
         return out
+
+    def _require_layers(self) -> None:
+        if self.layers is None or self.layer_stats is None:
+            raise NotImplementedError(
+                "index has no annotation-layer postings — build them "
+                "with index.build.build_layer_postings (reference "
+                "conllu-sentences.blf.yaml multi-field analog)")
+
+    def expand_layer_terms(self, layer: str, pattern: str,
+                           max_terms: int = 256) -> list[str]:
+        """Regex expansion through a layer's term dictionary (P1 over
+        lemma/upos/xpos/deprel), df-descending like :meth:`expand_terms`."""
+        if layer == "term":
+            return self.expand_terms(pattern, max_terms)
+        self._require_layers()
+        rows = (
+            self.layer_stats
+            .filter((F.col("layer") == layer)
+                    & F.col("value").rlike(f"^(?:{pattern})$"))
+            .orderBy(F.desc("df"), F.asc("value"))
+            .select("value").limit(max_terms).collect()
+        )
+        return [r["value"] for r in rows]
+
+    def _doc_lens(self, doc_ids: list[int]) -> dict[int, int]:
+        """doc_id → token count (the doc_lens stage; pruned scan per
+        miss set) — the position universe for complement (negation)
+        slots."""
+        missing = [d for d in doc_ids if d not in self._dl_cache]
+        if missing:
+            dl = self.spark.read.parquet(str(self.root / "doc_lens"))
+            rows = dl.filter(F.col("doc_id").isin(missing)) \
+                .select("doc_id", "dl").collect()
+            found = {int(r["doc_id"]): int(r["dl"]) for r in rows}
+            for d in missing:
+                self._dl_cache[d] = found.get(d, 0)
+        return {d: self._dl_cache[d] for d in doc_ids}
 
     def phrase_hits(self, phrase: str | list[str]
                     ) -> list[tuple[int, list[int]]]:
@@ -251,85 +302,233 @@ class IndexSearcher:
                 out.append((d, starts.tolist()))
         return out
 
+    def _slot_maps(self, steps, max_terms_per_slot: int):
+        """Per constraint slot: (allowed-positions map | None, banned map
+        | None). ``allowed`` merges every test layer per doc (positive
+        tests intersect positionally — cross-LAYER conjunctions like
+        ``[xpos="NN.*" & deprel="nsubj"]`` become per-doc position
+        intersections, the Lucene AND-of-fields span analog); negated
+        tests subtract. A slot with ONLY negated tests gets
+        ``(None, banned)`` — resolved by window complement at chain
+        time (the reference executes negation inside Lucene span
+        queries; ``plans/concept-sketch-spec.md:60``)."""
+        import numpy as np
+
+        from ..plans.cql import DEFAULT_LAYERS, effective_test
+
+        out = []
+        for st in steps:
+            pos_maps, ban_maps = [], []
+            for t in st.item.tests:
+                t = effective_test(t)
+                layer = DEFAULT_LAYERS.get(t.attr)
+                if layer is None:
+                    raise NotImplementedError(
+                        f"attribute {t.attr!r} has no indexed layer "
+                        f"(available: {sorted(DEFAULT_LAYERS)})")
+                if t.is_literal:
+                    values = [t.value.replace("\\", "")]
+                else:
+                    values = self.expand_layer_terms(
+                        layer, t.value, max_terms_per_slot)
+                merged: dict[int, object] = {}
+                for v in values:
+                    for d, pl in self._postings_with_positions(
+                            v, layer).items():
+                        if d in merged:
+                            merged[d] = np.union1d(merged[d], pl)
+                        else:
+                            merged[d] = np.asarray(pl, dtype=np.int64)
+                (ban_maps if t.negated else pos_maps).append(merged)
+            if pos_maps:
+                docs = set(pos_maps[0])
+                for m in pos_maps[1:]:
+                    docs &= set(m)
+                allowed: dict[int, object] = {}
+                for d in docs:
+                    a = pos_maps[0][d]
+                    for m in pos_maps[1:]:
+                        a = np.intersect1d(a, m[d])
+                        if a.size == 0:
+                            break
+                    for bm in ban_maps:
+                        if a.size and d in bm:
+                            a = np.setdiff1d(a, bm[d])
+                    if a.size:
+                        allowed[d] = a
+                out.append((allowed, None))
+            else:
+                if not ban_maps:
+                    raise NotImplementedError(
+                        "constraint slot with no tests — use [] gaps")
+                ban: dict[int, object] = {}
+                for bm in ban_maps:
+                    for d, pl in bm.items():
+                        ban[d] = (np.union1d(ban[d], pl) if d in ban
+                                  else np.asarray(pl, dtype=np.int64))
+                out.append((None, ban))
+        return out
+
     def pattern_hits(self, pattern: str, max_terms_per_slot: int = 256
                      ) -> list[tuple[int, int, int]]:
         """Index-side mini-BCQL execution — the reference's main query
         path runs CQL against the Lucene index
-        (``BlackLabQueryExecutor.java:117-144``); here each token
-        constraint expands through the term dictionary (regex → term
-        set), its positional postings are fetched via pruned scans and
-        UNIONED per slot, and the constraint sequence chains doc-at-a-
-        time over numpy position arrays with the ``[]{min,max}`` gap
-        windows (the SpanNear generalization of :meth:`phrase_hits`).
+        (``BlackLabQueryExecutor.java:117-144``); each token constraint
+        expands through its LAYER's term dictionary (term/lemma/upos/
+        xpos/deprel — multi-layer postings via
+        ``index.build.build_layer_postings``), positional postings are
+        fetched via pruned scans, and the constraint sequence chains
+        doc-at-a-time over numpy position arrays with the
+        ``[]{min,max}`` gap windows (the SpanNear generalization of
+        :meth:`phrase_hits`).
 
-        Returns distinct ``[(doc_id, start, end)]`` sorted. Negated
-        constraints are not supported index-side (a NOT expands to the
-        whole vocabulary) — use the DataFrame path
-        (``plans.cql.compile_cql``) for those.
+        Negation: ``attr!="..."`` subtracts banned positions; a slot
+        with ONLY negated tests matches any token in the gap window
+        whose position is not banned (complement against the doc's
+        position universe ``[0, dl)`` from the doc_lens stage). At
+        least one slot must have a positive test (the candidate-doc
+        driver); purely negative patterns are DataFrame-path only.
+
+        Returns distinct ``[(doc_id, start, end)]`` sorted.
         """
         import numpy as np
 
         from ..plans.cql import _steps, parse_cql
 
         steps = _steps(parse_cql(pattern))
-        slot_positions: list[dict[int, object]] = []
-        for st in steps:
-            tests = st.item.tests
-            if any(t.negated for t in tests):
-                raise NotImplementedError(
-                    "negated constraints are DataFrame-path only "
-                    "(plans.cql.compile_cql)")
-            if any(t.attr not in ("word", "term") for t in tests):
-                raise NotImplementedError(
-                    "index-side patterns match the indexed term layer; "
-                    "other layers are DataFrame-path only")
-            # conjunction of regexes → intersection of expansions
-            term_sets = []
-            for t in tests:
-                if t.is_literal:
-                    term_sets.append({t.value.replace("\\", "")})
-                else:
-                    term_sets.append(set(self.expand_terms(
-                        t.value, max_terms_per_slot)))
-            terms = set.intersection(*term_sets) if term_sets else set()
-            merged: dict[int, object] = {}
-            for term in sorted(terms):
-                for d, pl in self._postings_with_positions(term).items():
-                    if d in merged:
-                        merged[d] = np.union1d(merged[d], pl)
-                    else:
-                        merged[d] = np.asarray(pl, dtype=np.int64)
-            slot_positions.append(merged)
-        if not slot_positions or any(not s for s in slot_positions):
+        slots = self._slot_maps(steps, max_terms_per_slot)
+        pos_slots = [allowed for allowed, _ in slots if allowed is not None]
+        if not pos_slots:
+            raise NotImplementedError(
+                "pattern needs at least one non-negated constraint "
+                "index-side (purely negative patterns are DataFrame-"
+                "path only: plans.cql.compile_cql)")
+        if any(not s for s in pos_slots):
             return []
-        cand = set(slot_positions[0])
-        for s in slot_positions[1:]:
+        cand = set(pos_slots[0])
+        for s in pos_slots[1:]:
             cand &= set(s)
+        if not cand:
+            return []
+        need_dl = any(allowed is None for allowed, _ in slots)
+        dls = self._doc_lens(sorted(cand)) if need_dl else {}
+        empty = np.empty(0, dtype=np.int64)
         out: list[tuple[int, int, int]] = []
         for d in sorted(cand):
+            allowed0, ban0 = slots[0]
+            if allowed0 is None:
+                uni = np.arange(dls.get(d, 0), dtype=np.int64)
+                p0 = np.setdiff1d(uni, ban0.get(d, empty))
+            else:
+                p0 = np.asarray(allowed0[d], dtype=np.int64)
             # partials: rows (start, prev_pos); extend slot by slot
-            p0 = np.asarray(slot_positions[0][d], dtype=np.int64)
             starts, prevs = p0.copy(), p0.copy()
-            ok = True
-            for st, slot in zip(steps[1:], slot_positions[1:]):
-                nxt = np.asarray(slot[d], dtype=np.int64)
-                new_starts = []
-                new_prevs = []
-                for s, p in zip(starts, prevs):
-                    lo, hi = p + st.lo, p + st.hi
-                    sel = nxt[(nxt >= lo) & (nxt <= hi)]
-                    if sel.size:
-                        new_starts.append(np.full(sel.size, s))
-                        new_prevs.append(sel)
+            ok = starts.size > 0
+            for st, (allowed, ban) in zip(steps[1:], slots[1:]):
+                new_starts, new_prevs = [], []
+                if allowed is not None:
+                    nxt = allowed.get(d)
+                    if nxt is None:
+                        ok = False
+                        break
+                    for s, p in zip(starts, prevs):
+                        sel = nxt[(nxt >= p + st.lo) & (nxt <= p + st.hi)]
+                        if sel.size:
+                            new_starts.append(np.full(sel.size, s))
+                            new_prevs.append(sel)
+                else:
+                    banned = ban.get(d, empty)
+                    dl = dls.get(d, 0)
+                    for s, p in zip(starts, prevs):
+                        lo, hi = p + st.lo, min(p + st.hi, dl - 1)
+                        if hi < lo:
+                            continue
+                        sel = np.setdiff1d(
+                            np.arange(lo, hi + 1, dtype=np.int64), banned)
+                        if sel.size:
+                            new_starts.append(np.full(sel.size, s))
+                            new_prevs.append(sel)
                 if not new_starts:
                     ok = False
                     break
                 starts = np.concatenate(new_starts)
                 prevs = np.concatenate(new_prevs)
-            if ok:
+            if ok and starts.size:
                 spans = {(int(s), int(e)) for s, e in zip(starts, prevs)}
                 out.extend((d, s, e) for s, e in sorted(spans))
         return out
+
+    def pattern_cost(self, pattern: str, max_terms_per_slot: int = 256
+                     ) -> tuple[int, bool]:
+        """(Σdf over every test's dictionary expansion, hit-the-cap
+        flag) — the postings-volume estimate that decides whether the
+        in-process span chain is the right tool. Dictionary-only scans
+        (term_stats / layer_stats aggregates), never postings."""
+        from ..plans.cql import DEFAULT_LAYERS, _steps, effective_test, parse_cql
+
+        total, capped = 0, False
+        for st in _steps(parse_cql(pattern)):
+            for t in st.item.tests:
+                t = effective_test(t)
+                layer = DEFAULT_LAYERS.get(t.attr)
+                if layer is None:
+                    continue
+                if layer == "term":
+                    src = self.term_stats.select(
+                        F.col("term").alias("value"), "df")
+                else:
+                    self._require_layers()
+                    src = self.layer_stats.filter(
+                        F.col("layer") == layer).select("value", "df")
+                if t.is_literal:
+                    flt = F.col("value") == t.value.replace("\\", "")
+                else:
+                    flt = F.col("value").rlike(f"^(?:{t.value})$")
+                row = src.filter(flt).agg(
+                    F.count("*").alias("n"),
+                    F.sum("df").alias("sdf")).collect()[0]
+                total += int(row["sdf"] or 0)
+                capped = capped or int(row["n"]) > max_terms_per_slot
+        return total, capped
+
+    def pattern_hits_auto(self, pattern: str,
+                          max_terms_per_slot: int = 256,
+                          df_budget: int = 500_000
+                          ) -> list[tuple[int, int, int]]:
+        """:meth:`pattern_hits` with the hot-pattern guard: a
+        vocabulary-wide slot (e.g. ``[word="[a-z0-9]+"]``) would pull a
+        vocabulary-scale postings union driver-side, so when the Σdf
+        estimate exceeds ``df_budget`` (or an expansion hit the term
+        cap, which would silently truncate matches) the pattern runs as
+        a distributed DataFrame plan over the forward index instead —
+        same spans, executor-side work. Layered hot patterns without a
+        layer-complete forward index stay on the index path (capped,
+        documented best-effort, like the reference's max term
+        expansion)."""
+        cost, capped = self.pattern_cost(pattern, max_terms_per_slot)
+        if cost <= df_budget and not capped:
+            return self.pattern_hits(pattern, max_terms_per_slot)
+        from ..plans.cql import (
+            DEFAULT_LAYERS,
+            _steps,
+            compile_cql,
+            effective_test,
+            parse_cql,
+        )
+
+        attrs = {effective_test(t).attr for st in _steps(parse_cql(pattern))
+                 for t in st.item.tests}
+        term_only = all(DEFAULT_LAYERS.get(a) == "term" for a in attrs)
+        ds = self.root / "docstore"
+        if not term_only or not ds.exists():
+            return self.pattern_hits(pattern, max_terms_per_slot)
+        tokens = self.spark.read.parquet(str(ds)).select(
+            "doc_id", F.posexplode("tokens").alias("pos", "term"))
+        rows = (compile_cql(tokens, pattern, keep_terms=False)
+                .select("doc_id", "start", "end")
+                .orderBy("doc_id", "start", "end").collect())
+        return [(int(r["doc_id"]), int(r["start"]), int(r["end"]))
+                for r in rows]
 
     def search(self, query: str | list[str], k: int = 10, mode: str = "auto"
                ) -> tuple[list[tuple[int, float]], dict]:

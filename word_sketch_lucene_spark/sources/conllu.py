@@ -159,6 +159,11 @@ def layer_tokens(parsed: DataFrame, sent_len: int | None = None) -> DataFrame:
         "doc_id", pos.alias("pos"),
         F.lower(F.col("word")).alias("term"),
         F.lower(F.col("lemma")).alias("lemma"),
+        # case-PRESERVED variants: the reference indexes word/lemma as
+        # sensitive_insensitive fields (conllu-sentences.blf.yaml:24,29);
+        # CQL routes "(?-i)"-flagged tests here (plans.cql.effective_test)
+        F.col("word").alias("word_cs"),
+        F.col("lemma").alias("lemma_cs"),
         "upos", "xpos", "deprel")
 
 
