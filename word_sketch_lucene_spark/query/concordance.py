@@ -67,9 +67,12 @@ def concordance_page(
     top = hits.orderBy("doc_id", "pos").limit(offset + page_size)
     # constant partition key: the input is already bounded to
     # offset+page_size rows by the limit above, so a single-partition
-    # window is by construction small (and silences the spurious
-    # "No Partition Defined" warning for the unbounded case)
-    w = Window.partitionBy(F.lit(0)).orderBy("doc_id", "pos")
+    # window is by construction small. pmod(doc_id, 1) == 0 for every
+    # row but is NOT foldable — a bare F.lit(0) gets constant-folded to
+    # an empty partition spec, which WindowExec mistakes for the
+    # unbounded global-window hazard and warns about
+    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))) \
+        .orderBy("doc_id", "pos")
     page = (
         top.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") > offset)
