@@ -449,19 +449,9 @@ def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The index builds into a per-sf cache dir; stage manifests make
     re-runs no-ops.
     """
-    import hashlib
-    import tempfile
-    from pathlib import Path
-
-    from word_sketch_lucene_spark.index.build import build_index
     from word_sketch_lucene_spark.query.engine import IndexSearcher
 
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    root = Path(tempfile.gettempdir()) / f"wsl_contract_idx_{tag}"
-    docs = _docs(spark, sf_dir)
-    build_index(spark, docs, root, store_docstore=False,
-                input_paths=[f"{sf_dir}/documents.parquet"])
-    searcher = IndexSearcher(spark, root)
+    searcher = IndexSearcher(spark, _contract_index_root(spark, sf_dir))
     hits, _ = searcher.search(FLAGSHIP_TERMS, k=30, mode="auto")
     # adopt the oracle's rounded ordering contract before the cutoff
     rows = sorted(((d, round(s, 4)) for d, s in hits),
@@ -470,8 +460,63 @@ def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(d), float(s)) for d, s in rows], "doc_id long, score double")
 
 
+def _contract_index_root(spark: SparkSession, sf_dir: str):
+    """Per-sf cached index dir (stage manifests make re-builds no-ops)."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from word_sketch_lucene_spark.index.build import build_index
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    root = Path(tempfile.gettempdir()) / f"wsl_contract_idx_{tag}"
+    build_index(spark, _docs(spark, sf_dir), root, store_docstore=False,
+                input_paths=[f"{sf_dir}/documents.parquet"])
+    return root
+
+
 CQL_HITS_PATTERN = '1:[word="sp.*"] []{0,2} 2:[word="(join|table|group|row)"]'
 CQL_COLLOC_PATTERN = '1:[word="[a-z0-9]+"] []{0,2} 2:[word!="the|a"]'
+# multi-layer index-side pattern: xpos constraints + a negated surface
+# test + a bounded gap, served from layer postings (V9 index path)
+CQL_LAYERS_PATTERN = '[xpos="JJ.*"] []{0,1} [xpos="NN.*" & word!="table"]'
+
+
+def q_cql_hits_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V9 INDEX-side mini-BCQL: the same pattern as ``cql_hits`` executed
+    by ``IndexSearcher.pattern_hits`` (term-dictionary expansion →
+    positional postings → gap chaining), oracle-checked against the
+    first-principles SQL span join — proves the compressed positional
+    index reproduces the DataFrame compiler span for span."""
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    s = IndexSearcher(spark, _contract_index_root(spark, sf_dir))
+    spans = s.pattern_hits(CQL_HITS_PATTERN)
+    return spark.createDataFrame(
+        [(int(d), int(a), int(b)) for d, a, b in spans],
+        "doc_id long, start long, end long")
+
+
+def q_cql_layers_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-LAYER index-side CQL: xpos/negation pattern served from the
+    layer postings (``build_layer_postings``) of the parsed CoNLL-U
+    corpus — the reference's five-parallel-Lucene-fields model
+    (conllu-sentences.blf.yaml:18-74) as one prefixed-key dataset."""
+    from word_sketch_lucene_spark.index.build import build_layer_postings
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+    from word_sketch_lucene_spark.sources.conllu import layer_tokens
+
+    root = _contract_index_root(spark, sf_dir)
+    lt = layer_tokens(_parsed_conllu(spark, sf_dir),
+                      sent_len=CONLLU_SENT_LEN) \
+        .withColumn("doc_id", F.col("doc_id").cast("long"))
+    build_layer_postings(spark, lt, root,
+                         input_paths=[f"{sf_dir}/documents.parquet"])
+    s = IndexSearcher(spark, root)
+    spans = s.pattern_hits(CQL_LAYERS_PATTERN)
+    return spark.createDataFrame(
+        [(int(d), int(a), int(b)) for d, a, b in spans],
+        "doc_id long, start long, end long")
 
 
 def q_cql_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,6 +568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_events_per_user": q_topk_events_per_user,
         "concordance": q_concordance,
         "cql_hits": q_cql_hits,
+        "cql_hits_index": q_cql_hits_index,
+        "cql_layers_index": q_cql_layers_index,
         "cql_collocates": q_cql_collocates,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -570,6 +617,10 @@ def oracle_sql() -> dict[str, str]:
         "topk_events_per_user": osql.sql_topk_events_per_user(3),
         "concordance": osql.sql_concordance("spark", 10, 3),
         "cql_hits": osql.sql_pattern_hits(CQL_HITS_PATTERN),
+        "cql_hits_index": osql.sql_pattern_hits(CQL_HITS_PATTERN,
+                                                spans_only=True),
+        "cql_layers_index": osql.sql_pattern_spans_conllu(
+            CQL_LAYERS_PATTERN),
         "cql_collocates": osql.sql_pattern_collocates(
             CQL_COLLOC_PATTERN, "spark", k=20),
         "dedup_exact": osql.sql_exact_dup_groups(),

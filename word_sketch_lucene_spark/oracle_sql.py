@@ -866,13 +866,14 @@ def _cql_test_sql(test, alias: str, layers: dict[str, str] | None = None) -> str
     return f"NOT ({c})" if test.negated else c
 
 
-def _cql_joins(pattern: str) -> tuple[list, str, str]:
+def _cql_joins(pattern: str, table: str = "tokens",
+               layers: dict[str, str] | None = None) -> tuple[list, str, str]:
     """Shared FROM/WHERE fragments for a parsed pattern: returns
-    (steps, from_sql, where_sql) over aliases t0..tN."""
+    (steps, from_sql, where_sql) over aliases t0..tN of ``table``."""
     from .plans.cql import _steps, parse_cql
 
     steps = _steps(parse_cql(pattern))
-    frm = ["tokens t0"]
+    frm = [f"{table} t0"]
     for i, st in enumerate(steps[1:], start=1):
         if st.lo == st.hi:
             gap = f"t{i}.pos = t{i - 1}.pos + {st.lo}"
@@ -880,26 +881,47 @@ def _cql_joins(pattern: str) -> tuple[list, str, str]:
             gap = (f"t{i}.pos BETWEEN t{i - 1}.pos + {st.lo} "
                    f"AND t{i - 1}.pos + {st.hi}")
         conds = [f"t{i}.doc_id = t0.doc_id", gap]
-        conds += [_cql_test_sql(t, f"t{i}") for t in st.item.tests]
-        frm.append(f"JOIN tokens t{i} ON {' AND '.join(conds)}")
-    where = " AND ".join(_cql_test_sql(t, "t0") for t in steps[0].item.tests)
+        conds += [_cql_test_sql(t, f"t{i}", layers) for t in st.item.tests]
+        frm.append(f"JOIN {table} t{i} ON {' AND '.join(conds)}")
+    where = " AND ".join(_cql_test_sql(t, "t0", layers)
+                         for t in steps[0].item.tests)
     return steps, "\n  ".join(frm), where or "TRUE"
 
 
-def sql_pattern_hits(pattern: str) -> str:
-    """Oracle for ``plans.cql.compile_cql``: distinct match assignments
-    with capture columns."""
+def sql_pattern_hits(pattern: str, spans_only: bool = False) -> str:
+    """Oracle for ``plans.cql.compile_cql`` (and, with ``spans_only``,
+    for ``IndexSearcher.pattern_hits``): distinct match assignments
+    with capture columns, or bare ``(doc_id, start, end)`` spans."""
     steps, frm, where = _cql_joins(pattern)
     last = len(steps) - 1
     sel = [f"t0.doc_id AS doc_id", f"t0.pos AS start",
            f"t{last}.pos AS \"end\""]
-    for i, st in enumerate(steps):
-        if st.item.label is not None:
-            sel.append(f"t{i}.pos AS pos_{st.item.label}")
-            sel.append(f"t{i}.term AS term_{st.item.label}")
+    if not spans_only:
+        for i, st in enumerate(steps):
+            if st.item.label is not None:
+                sel.append(f"t{i}.pos AS pos_{st.item.label}")
+                sel.append(f"t{i}.term AS term_{st.item.label}")
     return f"""
 WITH {TOKENS_CTE}
 SELECT DISTINCT {', '.join(sel)}
+FROM {frm}
+WHERE {where}
+""".strip()
+
+
+def sql_pattern_spans_conllu(pattern: str) -> str:
+    """Oracle for index-side multi-LAYER patterns
+    (``IndexSearcher.pattern_hits`` over ``build_layer_postings``
+    postings): the same first-principles span join over the CoNLL-U
+    layer CTE — ``(doc_id, start, end)``."""
+    steps, frm, where = _cql_joins(pattern, table="ann",
+                                   layers=CONLLU_SQL_LAYERS)
+    last = len(steps) - 1
+    return f"""
+WITH {TOKENS_CTE},
+{_conllu_layer_cte()}
+SELECT DISTINCT t0.doc_id AS doc_id, t0.pos AS start,
+       t{last}.pos AS "end"
 FROM {frm}
 WHERE {where}
 """.strip()
