@@ -542,8 +542,26 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
+def _scoped(fn: Callable[[SparkSession, str], DataFrame]
+            ) -> Callable[[SparkSession, str], DataFrame]:
+    """Release the PREVIOUS query's tracked caches before building the
+    next plan — the driver's harness runs the 40 contract queries in
+    one session without cache hygiene of its own, and leaked persists
+    would accumulate across queries (worst case evicting each other).
+    Safe because unpersist only ever forces recompute, never changes
+    results, and the prior query's action has completed by the time the
+    next query is built."""
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from word_sketch_lucene_spark.caching import release_all
+
+        release_all()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {name: _scoped(fn) for name, fn in {
         "bm25_topk": q_bm25_topk,
         "bm25_index_topk": q_bm25_index_topk,
         "term_stats": q_term_stats,
@@ -584,7 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "media_meta": q_media_meta,
-    }
+    }.items()}
 
 
 def oracle_sql() -> dict[str, str]:

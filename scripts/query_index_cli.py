@@ -50,7 +50,10 @@ def main() -> None:
                "hits": [{"doc_id": d, "positions": p} for d, p in matches[:args.k]],
                "total_docs": len(matches)}
     elif args.cql:
-        spans = s.pattern_hits(args.cql)
+        # auto: Σdf-budgeted — vocabulary-wide slots run as a
+        # distributed DataFrame plan over the forward index instead of
+        # a driver-side postings union
+        spans = s.pattern_hits_auto(args.cql)
         out = {"cql": args.cql,
                "hits": [{"doc_id": d, "start": a, "end": b}
                         for d, a, b in spans[:args.k]],
