@@ -246,6 +246,23 @@ def q_word_sketch_conllu(spark: SparkSession, sf_dir: str) -> DataFrame:
         head_pos="NOUN", limit_per_relation=10, round_dp=4)
 
 
+def q_word_sketch_dep_conllu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EN catalog's DEP relations (adjacency patterns with deprel
+    constraints, e.g. ``1:[xpos="VB.*"] 2:[xpos="NN.*" & deprel="obj"]``)
+    run over the parsed CoNLL-U deprel layer — VERB-headed fan-out, the
+    reference's /api/sketch/{lemma}/dep per-relation model."""
+    from word_sketch_lucene_spark.plans.relations import word_sketch_patterns
+    from word_sketch_lucene_spark.sources.conllu import layer_tokens
+
+    lt = layer_tokens(_parsed_conllu(spark, sf_dir),
+                      sent_len=CONLLU_SENT_LEN)
+    lemma_stats = lt.groupBy(F.col("lemma").alias("term")) \
+        .agg(F.count("*").alias("cf"))
+    return word_sketch_patterns(
+        lt, lemma_stats, "scan", _en_catalog(), head_pos="VERB",
+        relation_types=("DEP",), limit_per_relation=10, round_dp=4)
+
+
 def q_multiseed_common(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SO1/A7/A8 multi-seed intersection (explore-multi endpoint)."""
     toks = explode_tokens(_docs(spark, sf_dir))
@@ -578,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dep_sketch_conllu": q_dep_sketch_conllu,
         "dep_sketch_catalog": q_dep_sketch_catalog,
         "word_sketch_conllu": q_word_sketch_conllu,
+        "word_sketch_dep_conllu": q_word_sketch_dep_conllu,
         "multiseed_common": q_multiseed_common,
         "profile_stats": q_profile_stats,
         "core_collocates": q_core_collocates,
@@ -625,6 +643,9 @@ def oracle_sql() -> dict[str, str]:
             "scan", "nsubj", head_class="VERB", colloc_class="NOUN"),
         "word_sketch_conllu": osql.sql_word_sketch_conllu(
             SKETCH_HEAD, _en_catalog(), head_pos="NOUN", k_per_relation=10),
+        "word_sketch_dep_conllu": osql.sql_word_sketch_conllu(
+            "scan", _en_catalog(), head_pos="VERB", k_per_relation=10,
+            relation_types=("DEP",)),
         "multiseed_common": osql.sql_multiseed_common(SEEDS, 1, 2, 50, 2),
         "profile_stats": osql.sql_profile_stats(SEEDS, 1, 2, 50),
         "core_collocates": osql.sql_core_collocates(SEEDS, 1, 2, 50,

@@ -302,17 +302,20 @@ CONLLU_SQL_LAYERS = {"word": "term", "term": "term", "lemma": "lemma",
                      "pos": "upos", "tag": "xpos"}
 
 
-def _conllu_layer_cte() -> str:
+def _conllu_layer_cte(sent_len: int = 10) -> str:
     """Flat-position multi-layer CTE: the oracle twin of
-    ``rule_annotate`` (lemma/upos/xpos rules) → ``layer_tokens`` (flat
-    pos). The Spark side additionally round-trips through rendered
-    CoNLL-U text and the production parser, so a match proves the whole
-    route."""
+    ``rule_annotate`` (lemma/upos/xpos/deprel rules) → ``layer_tokens``
+    (flat pos). The Spark side additionally round-trips through
+    rendered CoNLL-U text and the production parser, so a match proves
+    the whole route. deprel reproduces the window-rule attachment
+    labels (same logic as ``sql_dep_sketch_conllu``)."""
     wc = _wclass_case("term")
     plural = "length(term) > 4 AND term LIKE '%s'"
     return f"""
-ann AS (
+lbase AS (
   SELECT doc_id, pos, term,
+         CAST(pos // {sent_len} AS INT) AS sent_id,
+         CAST(pos % {sent_len} + 1 AS INT) AS token_id,
          CASE WHEN {plural}
               THEN substr(term, 1, length(term) - 1) ELSE term END AS lemma,
          {wc} AS upos,
@@ -322,7 +325,27 @@ ann AS (
               WHEN {wc} = 'ADJ' THEN 'JJ'
               WHEN {wc} = 'DET' THEN 'DT'
               ELSE 'XX' END AS xpos
-  FROM tokens)
+  FROM tokens),
+lwin AS (
+  SELECT *,
+         max(CASE WHEN upos = 'VERB' THEN token_id END) OVER (
+           PARTITION BY doc_id, sent_id ORDER BY token_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_verb,
+         min(CASE WHEN upos = 'VERB' THEN token_id END) OVER (
+           PARTITION BY doc_id, sent_id ORDER BY token_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_verb
+  FROM lbase),
+ann AS (
+  SELECT doc_id, pos, term, lemma, upos, xpos,
+         CASE WHEN upos = 'DET' THEN 'det'
+              WHEN upos = 'ADJ' THEN 'amod'
+              WHEN upos = 'NOUN' THEN
+                   CASE WHEN prev_verb IS NOT NULL THEN 'obj'
+                        WHEN next_verb IS NOT NULL THEN 'nsubj'
+                        ELSE 'dep' END
+              WHEN upos = 'VERB' THEN 'conj'
+              ELSE 'dep' END AS deprel
+  FROM lwin)
 """.strip()
 
 
