@@ -124,3 +124,67 @@ def test_adjacency_join_is_hash_join_on_both_keys(spark, docs_small):
     plan = _plan(adjacent_pairs(explode_tokens(docs_small)))
     # equality on doc_id AND pos+1 → a hash join, not BroadcastNestedLoop
     assert "NestedLoop" not in plan
+
+
+def test_layer_postings_scan_pushes_prefixed_key(spark, tmp_path, docs_small):
+    """Layer postings are served by a parquet scan with the prefixed
+    key pushed down (the per-field terms-dictionary seek analog)."""
+    from word_sketch_lucene_spark.index.build import (
+        build_index,
+        build_layer_postings,
+    )
+
+    root = tmp_path / "lidx"
+    build_index(spark, docs_small.limit(50), root, doc_salt=1,
+                n_partitions=2)
+    lt = docs_small.limit(50).select(
+        "doc_id", F.lit(0).cast("long").alias("pos"),
+        F.lit("x").alias("term"), F.lit("x").alias("lemma"))
+    build_layer_postings(spark, lt, root, layers=("lemma",),
+                         doc_salt=1, n_partitions=2)
+    seg = spark.read.parquet(str(root / "layers"))
+    q = seg.filter(F.col("term") == "lemma:x").select(
+        "term", "first_doc", "docs_vb", "pos_vb")
+    plan = _formatted(q)
+    assert "PushedFilters" in plan
+    assert "EqualTo(term,lemma:x)" in plan.replace(" ", "")
+
+
+def test_word_sketch_patterns_reuses_cached_token_table(spark, docs_small):
+    """The EN-catalog fan-out must read the persisted token table per
+    branch (InMemoryTableScan), never one corpus FileScan per relation
+    — at 100 TB, N relations = N corpus scans is the wall-time."""
+    from word_sketch_lucene_spark.caching import release_all
+    from word_sketch_lucene_spark.plans.relations import (
+        EN_CATALOG,
+        GrammarCatalog,
+        word_sketch_patterns,
+    )
+
+    toks = explode_tokens(docs_small).select(
+        "doc_id", "pos", "term", F.col("term").alias("lemma"),
+        F.lit("NN").alias("xpos"))
+    stats = toks.groupBy(F.col("lemma").alias("term")).agg(
+        F.count("*").alias("cf"))
+    cat = GrammarCatalog.load(EN_CATALOG)
+    sk = word_sketch_patterns(toks, stats, "table", cat, head_pos="NOUN")
+    plan = _plan(sk)
+    # every branch side reads the cache: with ~7 NOUN-headed relations
+    # × 2-3 token projections + stats lookups, the cached tables must
+    # appear as InMemoryTableScan leaves throughout the fan-out.
+    # (Counting FileScans in the string is misleading — InMemoryRelation
+    # nodes re-print their cached child plan including its FileScan.)
+    n_cached_reads = plan.count("InMemoryTableScan")
+    assert n_cached_reads >= 10, f"only {n_cached_reads} cached reads"
+    release_all()
+
+
+def test_assign_doc_ids_no_global_exchange(spark):
+    """Two-phase id assignment must not contain a single-partition
+    exchange of the corpus (the old global-window shape)."""
+    from word_sketch_lucene_spark.sources.pages import assign_doc_ids
+
+    df = spark.range(0, 500, 1, 8).select(
+        F.col("id").cast("string").alias("url"))
+    plan = _plan(assign_doc_ids(df, "doc_id", order_col="url"))
+    assert "SinglePartition" not in plan
