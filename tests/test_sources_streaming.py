@@ -205,3 +205,31 @@ def test_streaming_dedup_stateful(spark, tmp_path):
     got = {r["digest"] for r in spark.sql(
         "SELECT digest FROM dedup_builtin").collect()}
     assert got == set(by_digest)
+
+
+def test_to_wpl_text_sentence_markers(spark):
+    """WPL export (reference scripts/conllu_to_wpl.py): <s>-marked
+    tabular lines, MWT/empty-node rows already dropped by the parser."""
+    from word_sketch_lucene_spark.sources.conllu import (
+        parse_conllu_docs,
+        to_wpl_text,
+    )
+
+    conllu = (
+        "# sent_id = 1\n"
+        "1\tThe\tthe\tDET\tDT\t_\t2\tdet\n"
+        "2\tcat\tcat\tNOUN\tNN\t_\t0\troot\n"
+        "\n"
+        "1-2\tdel\t_\t_\t_\t_\t_\t_\n"
+        "1\tA\ta\tDET\tDT\t_\t2\tdet\n"
+        "2\tdog\tdog\tNOUN\tNN\t_\t0\troot\n"
+    )
+    docs = spark.createDataFrame([(7, conllu)], "doc_id long, conllu string")
+    out = to_wpl_text(parse_conllu_docs(docs)).collect()
+    assert len(out) == 1
+    wpl = out[0]["wpl"]
+    assert wpl.count("<s>") == 2 and wpl.count("</s>") == 2
+    assert "The\tthe\tDET\tDT" in wpl and "dog\tdog\tNOUN\tNN" in wpl
+    assert "del" not in wpl  # MWT dropped
+    # sentence order preserved
+    assert wpl.index("cat\t") < wpl.index("A\t")

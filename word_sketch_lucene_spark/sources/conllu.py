@@ -135,6 +135,41 @@ def to_conllu_text(ann: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def to_wpl_text(ann: DataFrame, id_col: str = "doc_id",
+                columns: tuple[str, ...] = ("word", "lemma", "upos", "xpos")
+                ) -> DataFrame:
+    """Annotated token table → word-per-line tabular text with explicit
+    ``<s>``/``</s>`` sentence markers, one document per row
+    ``(doc_id, wpl)`` — the reference's ``scripts/conllu_to_wpl.py``
+    (BlackLab needs inline tags to index sentence spans; here the
+    markers are for EXPORT interop — the engine itself keeps sentence
+    boundaries as the structured ``sent_id`` column). Pure Catalyst
+    string ops, same aggregation shape as :func:`to_conllu_text`.
+    """
+    cols = [c for c in columns if c in ann.columns]
+    line = F.concat_ws("\t", *cols)
+    per_sent = (
+        ann.withColumn("line", line)
+        .groupBy(id_col, "sent_id")
+        .agg(F.concat(
+            F.lit("<s>\n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("token_id", "line"))),
+                    lambda s: s["line"]),
+                "\n"),
+            F.lit("\n</s>")).alias("sent_text"))
+    )
+    return (
+        per_sent.groupBy(id_col)
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sent_id", "sent_text"))),
+                lambda s: s["sent_text"]),
+            "\n").alias("wpl"))
+    )
+
+
 def layer_tokens(parsed: DataFrame, sent_len: int | None = None) -> DataFrame:
     """Parsed CoNLL-U table → flat multi-layer token table for the CQL
     compiler: ``(doc_id, pos, term, lemma, upos, xpos, deprel)`` with a
