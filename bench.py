@@ -131,9 +131,23 @@ def bench_queries(spark, index_root) -> dict:
         decoded += st["decoded_blocks"]
         total += st["total_blocks"]
     q_s = time.perf_counter() - t0
+    # index-side CQL latency (the reference's 50-200 ms band): warm
+    # per-pattern wall over the in-process span chain, min of 3
+    pats = [f'[word="{terms[0]}"] []{{0,2}} [word="{terms[1]}"]',
+            f'[word="{terms[2]}"] [word="{terms[3]}"]',
+            f'[word="{terms[0][:2]}.*"] [word="{terms[1]}"]']
+    cql_ms = {}
+    for p in pats:
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n_spans = len(searcher.pattern_hits(p))
+            walls.append(time.perf_counter() - t0)
+        cql_ms[p] = {"ms": round(1000 * min(walls), 1), "spans": n_spans}
     return {"n_queries": len(qs), "prefetch_sec": round(cold_s, 3),
             "sec": round(q_s, 3), "qps": round(len(qs) / q_s, 1),
-            "block_decode_ratio": round(decoded / max(total, 1), 3)}
+            "block_decode_ratio": round(decoded / max(total, 1), 3),
+            "cql_pattern_latency": cql_ms}
 
 
 class _ScaleWorker:

@@ -123,6 +123,12 @@ class IndexSearcher:
                             if ls.exists() else None)
         self._df_cache: dict[str, int] = {}
         self._dl_cache: dict[int, int] = {}
+        # (layer, term) → {doc: positions} decoded positional postings —
+        # the hot working set an interactive serving node keeps pinned
+        # (bounded FIFO like _decoded_cache)
+        self._positions_cache: dict[tuple[str, str], dict] = {}
+        self.positions_cache_max = 512
+        self._expand_cache: dict[tuple[str, str, int], list[str]] = {}
         # term → list[block-row dict] cache: the analog of the reference
         # preloading collocations.bin for O(1) lookups (CLAUDE.md:190-196).
         # One pruned parquet scan per *miss set*, pure numpy afterwards.
@@ -151,13 +157,21 @@ class IndexSearcher:
         layer — here an anchored ``rlike`` over ``term_stats`` (the term
         dictionary), df-descending so the cap keeps the heaviest terms.
         The expansion then feeds :meth:`search` as an OR set — a scan of
-        the O(vocab) stats table, never of the postings."""
+        the O(vocab) stats table, never of the postings (and cached:
+        interactive serving repeats the same expansions)."""
+        ck = ("term", pattern, max_terms)
+        hit = self._expand_cache.get(ck)
+        if hit is not None:
+            return hit
         rows = (
             self.term_stats.filter(F.col("term").rlike(f"^(?:{pattern})$"))
             .orderBy(F.desc("df"), F.asc("term"))
             .select("term").limit(max_terms).collect()
         )
-        return [r["term"] for r in rows]
+        out = [r["term"] for r in rows]
+        if len(self._expand_cache) < 4096:
+            self._expand_cache[ck] = out
+        return out
 
     def search_regex(self, pattern: str, k: int = 10, mode: str = "auto",
                      max_terms: int = 256):
@@ -214,6 +228,10 @@ class IndexSearcher:
 
         from ..functions.codec import decode_positions, vbyte_decode
 
+        ck = (layer, term)
+        cached = self._positions_cache.get(ck)
+        if cached is not None:
+            return cached
         if layer == "term":
             src, key = self.segments, term
         else:
@@ -231,6 +249,9 @@ class IndexSearcher:
             pls = decode_positions(bytes(r["pos_vb"]), int(r["n"]))
             for d, pl in zip(docs, pls):
                 out[int(d)] = pl
+        if len(self._positions_cache) >= self.positions_cache_max:
+            self._positions_cache.pop(next(iter(self._positions_cache)))
+        self._positions_cache[ck] = out
         return out
 
     def _require_layers(self) -> None:
@@ -247,6 +268,10 @@ class IndexSearcher:
         if layer == "term":
             return self.expand_terms(pattern, max_terms)
         self._require_layers()
+        ck = (layer, pattern, max_terms)
+        hit = self._expand_cache.get(ck)
+        if hit is not None:
+            return hit
         rows = (
             self.layer_stats
             .filter((F.col("layer") == layer)
@@ -254,7 +279,10 @@ class IndexSearcher:
             .orderBy(F.desc("df"), F.asc("value"))
             .select("value").limit(max_terms).collect()
         )
-        return [r["value"] for r in rows]
+        out = [r["value"] for r in rows]
+        if len(self._expand_cache) < 4096:
+            self._expand_cache[ck] = out
+        return out
 
     def _doc_lens(self, doc_ids: list[int]) -> dict[int, int]:
         """doc_id → token count (the doc_lens stage; pruned scan per
