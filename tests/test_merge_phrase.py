@@ -127,3 +127,44 @@ def test_phrase_hits_match_oracle(spark, split_corpus, tmp_path):
         got = dict(s.phrase_hits(phrase))
         assert got == expected, phrase
     assert s.phrase_hits(["nonexistent123", "t0"]) == []
+
+
+def test_merge_preserves_layer_postings(spark, split_corpus, tmp_path):
+    """Merged layered indexes must answer layer patterns identically to
+    a full layered build (layers decoded, re-keyed, re-encoded like the
+    term segments)."""
+    from word_sketch_lucene_spark.index.build import build_layer_postings
+
+    pages, a, b, _ = split_corpus
+    lt_all = _toy_layers(pages)
+    ra, rb, rm, rf = (tmp_path / n for n in ("a", "b", "m", "full"))
+    for pp, root in ((a, ra), (b, rb), (pages, rf)):
+        build_index(spark, pp, root, doc_salt=2, n_partitions=4)
+        build_layer_postings(
+            spark, lt_all.join(pp.select("doc_id"), "doc_id", "left_semi"),
+            root, layers=("lemma", "upos"), doc_salt=2, n_partitions=4)
+    merge_indexes(spark, [ra, rb], rm, doc_salt=2, n_partitions=4)
+    sm = IndexSearcher(spark, rm)
+    sf = IndexSearcher(spark, rf)
+    assert sm.layers is not None and sm.layer_stats is not None
+    for pattern in ('[upos="NOUN"] [lemma="t1"]',
+                    '[lemma="t.*"] []{0,2} [upos="NOUN"]'):
+        got = set(sm.pattern_hits(pattern))
+        want = set(sf.pattern_hits(pattern))
+        assert got == want and got, pattern
+    # layer dictionary folded
+    assert set(sm.expand_layer_terms("upos", ".*")) == \
+        set(sf.expand_layer_terms("upos", ".*"))
+
+
+def _toy_layers(pages):
+    """Deterministic layer table from the pages corpus: lemma = term,
+    upos = NOUN for t-terms else X."""
+    from word_sketch_lucene_spark.functions.tokenize import explode_tokens
+
+    toks = explode_tokens(pages)
+    return toks.select(
+        "doc_id", "pos", "term",
+        F.col("term").alias("lemma"),
+        F.when(F.col("term").rlike("^t[0-9]+$"), "NOUN")
+        .otherwise("X").alias("upos"))

@@ -154,21 +154,27 @@ def build_layer_postings(
                   lineage={"inputs": input_paths or [], "config": config})
     st_ls = StageManifest(paths.layer_stats, "layer_stats")
     if not st_ls.is_complete(inputs_fp, cfg_fp):
-        seg = spark.read.parquet(str(paths.layers))
-        (
-            seg.groupBy("term").agg(
-                F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
-            .select(
-                # value may itself contain ':' (deprel "nsubj:pass") —
-                # split ONLY on the first separator
-                F.split_part("term", F.lit(":"), F.lit(1)).alias("layer"),
-                F.expr("substring(term, instr(term, ':') + 1)")
-                .alias("value"),
-                "df", "cf")
-            .write.mode("overwrite").parquet(str(paths.layer_stats))
-        )
+        write_layer_stats(spark, paths.layers, paths.layer_stats)
         st_ls.commit(inputs_fp, cfg_fp,
                      lineage={"derived_from": str(paths.layers)})
+
+
+def write_layer_stats(spark: SparkSession, layers_path, out_path) -> None:
+    """Per-layer term dictionary ``(layer, value, df, cf)`` derived from
+    the layer-postings block metadata (shared by build and merge)."""
+    seg = spark.read.parquet(str(layers_path))
+    (
+        seg.groupBy("term").agg(
+            F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
+        .select(
+            # value may itself contain ':' (deprel "nsubj:pass") —
+            # split ONLY on the first separator
+            F.split_part("term", F.lit(":"), F.lit(1)).alias("layer"),
+            F.expr("substring(term, instr(term, ':') + 1)")
+            .alias("value"),
+            "df", "cf")
+        .write.mode("overwrite").parquet(str(out_path))
+    )
 
 
 def build_index(

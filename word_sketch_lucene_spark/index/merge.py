@@ -152,6 +152,29 @@ def merge_indexes(
             ds = d if ds is None else ds.unionByName(d)
         ds.write.mode("overwrite").parquet(str(paths.docstore))
 
+    # annotation-layer postings merge the same way as the term segments
+    # (the prefixed key IS the term for the writer kernel); layer_stats
+    # re-derives from merged block metadata
+    layer_dirs = [str(Path(r) / "layers") for r in in_roots
+                  if (Path(r) / "layers").exists()]
+    if layer_dirs:
+        from .build import write_layer_stats
+
+        lt = None
+        for lr in layer_dirs:
+            t = decode_segments_to_tokens(spark.read.parquet(lr))
+            lt = t if lt is None else lt.unionByName(t)
+        (
+            lt
+            .withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(doc_salt)))
+            .repartition(nparts, F.col("term"), F.col("salt"))
+            .sortWithinPartitions("term", "doc_id", "pos")
+            .select(*TOKEN_INPUT_COLUMNS)
+            .mapInPandas(writer, schema=SEGMENT_SCHEMA)
+            .write.mode("overwrite").parquet(str(paths.layers))
+        )
+        write_layer_stats(spark, paths.layers, paths.layer_stats)
+
     n_blocks = seg.count()
     st.commit(inputs_fp, cfg_fp,
               metrics={"n_blocks": n_blocks, "n_docs": stats["n_docs"]},
