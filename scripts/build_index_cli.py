@@ -29,6 +29,10 @@ def main() -> None:
     ap = argparse.ArgumentParser(description="Build a BM25 inverted index")
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="parquet pages table (url/text or doc_id/text)")
+    src.add_argument("--conllu", help="directory/glob of .conllu files: "
+                     "multi-layer index (term + lemma/upos/xpos/deprel "
+                     "postings) from tagger output — the reference's "
+                     "primary ingestion")
     src.add_argument("--synthetic", type=int, metavar="N",
                      help="generate N synthetic pages instead")
     ap.add_argument("--output", required=True, help="index root directory")
@@ -47,6 +51,24 @@ def main() -> None:
     from word_sketch_lucene_spark.sources.pages import generate_pages
 
     spark = get_spark("build-index", master=args.master)
+    if args.conllu:
+        from pathlib import Path as _P
+
+        from word_sketch_lucene_spark.index.build import build_conllu_index
+        from word_sketch_lucene_spark.sources.conllu import read_conllu
+
+        t0 = time.perf_counter()
+        stats = build_conllu_index(
+            spark, read_conllu(spark, args.conllu), args.output,
+            doc_salt=args.doc_salt, n_partitions=args.partitions,
+            block_size=args.block_size,
+            store_docstore=not args.no_docstore,
+            input_paths=[args.conllu] if _P(args.conllu).exists() else None)
+        dt = time.perf_counter() - t0
+        print(json.dumps({"stats": stats, "build_sec": round(dt, 2),
+                          "docs_per_sec": round(stats["n_docs"] / dt, 1)}))
+        spark.stop()
+        return
     if args.synthetic:
         pages = generate_pages(spark, args.synthetic, seed=42)
         input_paths = None

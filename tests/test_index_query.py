@@ -265,3 +265,45 @@ def test_pure_negative_pattern_still_dataframe_only(spark, index_small):
     s = IndexSearcher(spark, index_small)
     with pytest.raises(NotImplementedError):
         s.pattern_hits('[word!="spark"] [word!="join"]')
+
+
+def test_build_conllu_index_end_to_end(spark, tmp_path):
+    """CoNLL-U files → dense-id multi-layer index: BM25 search works,
+    layer patterns serve index-side, docstore text reassembled from the
+    token stream, name↔id mapping written."""
+    from word_sketch_lucene_spark.index.build import build_conllu_index
+    from word_sketch_lucene_spark.sources.conllu import read_conllu
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "a.conllu").write_text(
+        "1\tThe\tthe\tDET\tDT\t_\t2\tdet\n"
+        "2\tcat\tcat\tNOUN\tNN\t_\t3\tnsubj\n"
+        "3\tsleeps\tsleep\tVERB\tVBZ\t_\t0\troot\n"
+        "\n"
+        "1\tDogs\tdog\tNOUN\tNNS\t_\t2\tnsubj\n"
+        "2\tbark\tbark\tVERB\tVBP\t_\t0\troot\n")
+    (corpus / "b.conllu").write_text(
+        "1\tA\ta\tDET\tDT\t_\t2\tdet\n"
+        "2\tcat\tcat\tNOUN\tNN\t_\t3\tnsubj\n"
+        "3\tbarks\tbark\tVERB\tVBZ\t_\t0\troot\n")
+    root = tmp_path / "cidx"
+    stats = build_conllu_index(spark, read_conllu(spark, str(corpus)),
+                               root, doc_salt=1, n_partitions=2)
+    assert stats["n_docs"] == 2 and stats["total_tokens"] == 8
+    s = IndexSearcher(spark, root)
+    hits, _ = s.search(["cat"], k=5)
+    assert len(hits) == 2
+    # layer pattern: lemma-constrained verb after a NOUN
+    spans = s.pattern_hits('[upos="NOUN"] [lemma="bark"]')
+    assert len(spans) == 2  # "Dogs bark" and "cat barks"
+    # xpos regex through the layer dictionary
+    assert set(s.expand_layer_terms("xpos", "VB.*")) == {"VBZ", "VBP"}
+    # docstore reassembled from tokens, in position order
+    ds = {r["doc_id"]: r["text"] for r in
+          spark.read.parquet(str(root / "docstore")).collect()}
+    assert set(ds.values()) == {"the cat sleeps dogs bark", "a cat barks"}
+    names = {r["doc_name"]: r["doc_id"] for r in
+             spark.read.parquet(str(root / "doc_names")).collect()}
+    assert set(names) == {"a.conllu", "b.conllu"}
+    assert sorted(names.values()) == [0, 1]

@@ -159,6 +159,62 @@ def build_layer_postings(
                      lineage={"derived_from": str(paths.layers)})
 
 
+def build_conllu_index(
+    spark: SparkSession,
+    parsed: DataFrame,
+    out_dir: str | Path,
+    *,
+    layers: tuple[str, ...] = DEFAULT_EXTRA_LAYERS,
+    doc_salt: int = 4,
+    n_partitions: int | None = None,
+    block_size: int = BLOCK_SIZE,
+    store_docstore: bool = True,
+    input_paths: list[str] | None = None,
+) -> dict:
+    """Full multi-layer index from a parsed CoNLL-U corpus — the
+    reference's PRIMARY ingestion (tagger output → BlackLab multi-field
+    index, ``index_corpus.sh`` / ``BlackLabConllUIndexer``): surface
+    postings from the word layer plus positional postings per
+    annotation layer, one resumable build.
+
+    ``parsed``: the ``sources.conllu`` schema. String doc ids (file
+    names) get dense numeric ids via the distributed two-phase
+    assignment; the name↔id mapping is written to ``<root>/doc_names``.
+    """
+    from ..sources.conllu import layer_tokens
+
+    paths = IndexPaths(out_dir)
+    paths.root.mkdir(parents=True, exist_ok=True)
+    if dict(parsed.dtypes)["doc_id"] != "bigint":
+        from ..sources.pages import assign_doc_ids
+
+        names = (parsed.select(F.col("doc_id").alias("doc_name"))
+                 .distinct())
+        mapping = assign_doc_ids(names, "doc_id", order_col="doc_name")
+        mapping.write.mode("overwrite").parquet(str(paths.root / "doc_names"))
+        mapping = spark.read.parquet(str(paths.root / "doc_names"))
+        parsed = (parsed.withColumnRenamed("doc_id", "doc_name")
+                  .join(mapping, "doc_name").drop("doc_name"))
+    # both stages (term segments + layer postings) read the layer
+    # table; this function owns both actions, so the cache is scoped
+    # here, not via the tracked registry
+    lt = layer_tokens(parsed).persist()
+    try:
+        stats = build_index(
+            spark, None, out_dir,
+            pre_tokenized=lt.select("doc_id", "pos", "term"),
+            doc_salt=doc_salt, n_partitions=n_partitions,
+            block_size=block_size, store_docstore=store_docstore,
+            input_paths=input_paths)
+        build_layer_postings(
+            spark, lt, out_dir, layers=layers, doc_salt=doc_salt,
+            n_partitions=n_partitions, block_size=block_size,
+            input_paths=input_paths)
+    finally:
+        lt.unpersist()
+    return stats
+
+
 def write_layer_stats(spark: SparkSession, layers_path, out_path) -> None:
     """Per-layer term dictionary ``(layer, value, df, cf)`` derived from
     the layer-postings block metadata (shared by build and merge)."""
@@ -179,7 +235,7 @@ def write_layer_stats(spark: SparkSession, layers_path, out_path) -> None:
 
 def build_index(
     spark: SparkSession,
-    pages: DataFrame,
+    pages: DataFrame | None,
     out_dir: str | Path,
     *,
     doc_id_col: str = "doc_id",
@@ -192,15 +248,24 @@ def build_index(
     use_pandas_udf: bool = True,
     store_docstore: bool = True,
     input_paths: list[str] | None = None,
+    pre_tokenized: DataFrame | None = None,
 ) -> dict:
-    """Run (or resume) the full index build; returns the stats dict."""
+    """Run (or resume) the full index build; returns the stats dict.
+
+    ``pre_tokenized`` replaces the tokenize stage with an existing
+    ``(doc_id, pos, term[, dl])`` token table — the CoNLL-U ingestion
+    path (the reference's primary workflow indexes tagger output, not
+    raw text). ``pages`` may then be None; the docstore (when kept) is
+    reassembled from the token stream.
+    """
     paths = IndexPaths(out_dir)
     paths.root.mkdir(parents=True, exist_ok=True)
     nparts = n_partitions or spark.sparkContext.defaultParallelism
     config = {
         "doc_salt": doc_salt, "n_partitions": nparts, "block_size": block_size,
         "k1": k1, "b": b, "use_pandas_udf": use_pandas_udf,
-        "tokenizer": "lower-split-[^a-z0-9]+",
+        "tokenizer": ("pre-tokenized" if pre_tokenized is not None
+                      else "lower-split-[^a-z0-9]+"),
     }
     cfg_fp = config_fingerprint(config)
     inputs_fp = input_fingerprint(input_paths) if input_paths else "unspecified"
@@ -208,11 +273,22 @@ def build_index(
     # ---- stage: tokens ------------------------------------------------
     st_tok = StageManifest(paths.tokens, "tokens")
     if not st_tok.is_complete(inputs_fp, cfg_fp):
-        (
-            explode_tokens(pages, doc_id_col, text_col,
-                           use_pandas_udf=use_pandas_udf, with_dl=True)
-            .write.mode("overwrite").parquet(str(paths.tokens))
-        )
+        if pre_tokenized is not None:
+            src = pre_tokenized
+            if "dl" not in src.columns:
+                from pyspark.sql import Window
+
+                src = src.withColumn(
+                    "dl",
+                    F.count("*").over(Window.partitionBy("doc_id"))
+                    .cast("int"))
+            src = src.select(F.col("doc_id").cast("long").alias("doc_id"),
+                             F.col("pos").cast("long").alias("pos"),
+                             "term", F.col("dl").cast("int").alias("dl"))
+        else:
+            src = explode_tokens(pages, doc_id_col, text_col,
+                                 use_pandas_udf=use_pandas_udf, with_dl=True)
+        src.write.mode("overwrite").parquet(str(paths.tokens))
         st_tok.commit(inputs_fp, cfg_fp,
                       lineage={"inputs": input_paths or [], "config": config})
     tokens = spark.read.parquet(str(paths.tokens))
@@ -320,14 +396,24 @@ def build_index(
     if store_docstore:
         st_ds = StageManifest(paths.docstore, "docstore")
         if not st_ds.is_complete(inputs_fp, cfg_fp):
-            (
-                pages.select(
+            if pre_tokenized is not None or pages is None:
+                # reassemble the forward index from the token stream
+                # (pos-ordered collect per doc — one co-keyed shuffle)
+                ds = tokens.groupBy("doc_id").agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("pos", "term"))),
+                        lambda s: s["term"]).alias("tokens"))
+                ds = ds.select("doc_id",
+                               F.concat_ws(" ", "tokens").alias("text"),
+                               "tokens")
+            else:
+                ds = pages.select(
                     F.col(doc_id_col).alias("doc_id"),
                     F.col(text_col).alias("text"),
                     tokens_expr(text_col).alias("tokens"),
                 )
-                .write.mode("overwrite").parquet(str(paths.docstore))
-            )
+            ds.write.mode("overwrite").parquet(str(paths.docstore))
             st_ds.commit(inputs_fp, cfg_fp, lineage={"inputs": input_paths or []})
 
     return stats
