@@ -307,3 +307,49 @@ def test_build_conllu_index_end_to_end(spark, tmp_path):
              spark.read.parquet(str(root / "doc_names")).collect()}
     assert set(names) == {"a.conllu", "b.conllu"}
     assert sorted(names.values()) == [0, 1]
+
+
+def test_index_word_sketch_matches_dataframe_path(spark, docs_small,
+                                                  tmp_path):
+    """The index-served sketch (span chain + forward layer + dictionary
+    stats) must reproduce the DataFrame fan-out row for row — rank,
+    counts, and 4-dp scores."""
+    from word_sketch_lucene_spark.functions.tokenize import explode_tokens
+    from word_sketch_lucene_spark.index.build import build_conllu_index
+    from word_sketch_lucene_spark.operators.dependency import rule_annotate
+    from word_sketch_lucene_spark.plans.relations import (
+        EN_CATALOG,
+        GrammarCatalog,
+        word_sketch_patterns,
+    )
+    from word_sketch_lucene_spark.query.sketch import index_word_sketch
+    from word_sketch_lucene_spark.sources.conllu import (
+        layer_tokens,
+        parse_conllu_docs,
+        to_conllu_text,
+    )
+
+    parsed = parse_conllu_docs(to_conllu_text(
+        rule_annotate(explode_tokens(docs_small), sent_len=10)))
+    root = tmp_path / "sk_idx"
+    build_conllu_index(spark, parsed, root, doc_salt=2, n_partitions=4)
+    cat = GrammarCatalog.load(EN_CATALOG)
+
+    lt = layer_tokens(parsed, sent_len=10)
+    lemma_stats = lt.groupBy(F.col("lemma").alias("term")) \
+        .agg(F.count("*").alias("cf"))
+    want = [(r["relation"], r["colloc_term"], r["pair_freq"],
+             r["logdice"], r["rel_freq"])
+            for r in word_sketch_patterns(
+                lt, lemma_stats, "table", cat, head_pos="NOUN",
+                limit_per_relation=10, round_dp=4).collect()]
+
+    s = IndexSearcher(spark, root)
+    got = index_word_sketch(s, "table", cat, head_pos="NOUN",
+                            limit_per_relation=10, round_dp=4)
+    assert sorted(got) == sorted(want)
+    assert got, "sketch produced no rows (weak test)"
+    # warm repeat (postings/dictionary caches) stays identical
+    again = index_word_sketch(s, "table", cat, head_pos="NOUN",
+                              limit_per_relation=10, round_dp=4)
+    assert again == got

@@ -195,9 +195,9 @@ def build_conllu_index(
         mapping = spark.read.parquet(str(paths.root / "doc_names"))
         parsed = (parsed.withColumnRenamed("doc_id", "doc_name")
                   .join(mapping, "doc_name").drop("doc_name"))
-    # both stages (term segments + layer postings) read the layer
-    # table; this function owns both actions, so the cache is scoped
-    # here, not via the tracked registry
+    # all stages (term segments, layer postings, forward layers) read
+    # the layer table; this function owns the actions, so the cache is
+    # scoped here, not via the tracked registry
     lt = layer_tokens(parsed).persist()
     try:
         stats = build_index(
@@ -210,6 +210,28 @@ def build_conllu_index(
             spark, lt, out_dir, layers=layers, doc_salt=doc_salt,
             n_partitions=n_partitions, block_size=block_size,
             input_paths=input_paths)
+        if store_docstore:
+            # FORWARD layer index (doc → per-layer value arrays in
+            # position order): what index-side collocate extraction
+            # reads to recover "the lemma AT the matched position" —
+            # the Lucene forward-index analog the reference groups
+            # sketch hits with (BlackLabQueryExecutor FORWARD_INDEX)
+            def _arr(c):
+                def pick(s):
+                    return s[c]
+
+                return F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", c))),
+                    pick).alias(c)
+
+            fw_cols = [c for c in ("term", "lemma", "upos", "xpos",
+                                   "deprel", "word_cs", "lemma_cs")
+                       if c in lt.columns]
+            (
+                lt.groupBy("doc_id").agg(*[_arr(c) for c in fw_cols])
+                .write.mode("overwrite")
+                .parquet(str(paths.root / "forward_layers"))
+            )
     finally:
         lt.unpersist()
     return stats

@@ -284,6 +284,39 @@ class IndexSearcher:
             self._expand_cache[ck] = out
         return out
 
+    def forward_layer(self, doc_ids: list[int], layer: str
+                      ) -> dict[int, list]:
+        """doc_id → value array (position order) for one annotation
+        layer — the forward-index read that recovers "the lemma AT the
+        matched position" for collocate grouping (pruned scan per call,
+        candidate docs only)."""
+        fwp = self.root / "forward_layers"
+        if not fwp.exists():
+            raise NotImplementedError(
+                "index has no forward_layers store — build with "
+                "index.build.build_conllu_index(store_docstore=True)")
+        fw = self.spark.read.parquet(str(fwp))
+        if layer not in fw.columns:
+            raise ValueError(f"forward layer {layer!r} not stored "
+                             f"(available: {sorted(fw.columns)})")
+        rows = fw.filter(F.col("doc_id").isin(list(doc_ids))) \
+            .select("doc_id", layer).collect()
+        return {int(r["doc_id"]): list(r[layer]) for r in rows}
+
+    def layer_cf(self, layer: str, values: list[str]) -> dict[str, int]:
+        """Collection frequencies for specific layer values (pruned
+        dictionary lookups — the sketch scorer's stats joins)."""
+        if layer == "term":
+            rows = self.term_stats.filter(F.col("term").isin(values)) \
+                .select(F.col("term").alias("value"), "cf").collect()
+        else:
+            self._require_layers()
+            rows = (self.layer_stats
+                    .filter((F.col("layer") == layer)
+                            & F.col("value").isin(values))
+                    .select("value", "cf").collect())
+        return {r["value"]: int(r["cf"]) for r in rows}
+
     def _doc_lens(self, doc_ids: list[int]) -> dict[int, int]:
         """doc_id → token count (the doc_lens stage; pruned scan per
         miss set) — the position universe for complement (negation)
@@ -440,50 +473,96 @@ class IndexSearcher:
             return []
         need_dl = any(allowed is None for allowed, _ in slots)
         dls = self._doc_lens(sorted(cand)) if need_dl else {}
-        empty = np.empty(0, dtype=np.int64)
         out: list[tuple[int, int, int]] = []
         for d in sorted(cand):
-            allowed0, ban0 = slots[0]
-            if allowed0 is None:
-                uni = np.arange(dls.get(d, 0), dtype=np.int64)
-                p0 = np.setdiff1d(uni, ban0.get(d, empty))
-            else:
-                p0 = np.asarray(allowed0[d], dtype=np.int64)
-            # partials: rows (start, prev_pos); extend slot by slot
-            starts, prevs = p0.copy(), p0.copy()
-            ok = starts.size > 0
-            for st, (allowed, ban) in zip(steps[1:], slots[1:]):
-                new_starts, new_prevs = [], []
-                if allowed is not None:
-                    nxt = allowed.get(d)
-                    if nxt is None:
-                        ok = False
-                        break
-                    for s, p in zip(starts, prevs):
-                        sel = nxt[(nxt >= p + st.lo) & (nxt <= p + st.hi)]
-                        if sel.size:
-                            new_starts.append(np.full(sel.size, s))
-                            new_prevs.append(sel)
-                else:
-                    banned = ban.get(d, empty)
-                    dl = dls.get(d, 0)
-                    for s, p in zip(starts, prevs):
-                        lo, hi = p + st.lo, min(p + st.hi, dl - 1)
-                        if hi < lo:
-                            continue
-                        sel = np.setdiff1d(
-                            np.arange(lo, hi + 1, dtype=np.int64), banned)
-                        if sel.size:
-                            new_starts.append(np.full(sel.size, s))
-                            new_prevs.append(sel)
-                if not new_starts:
-                    ok = False
-                    break
-                starts = np.concatenate(new_starts)
-                prevs = np.concatenate(new_prevs)
-            if ok and starts.size:
-                spans = {(int(s), int(e)) for s, e in zip(starts, prevs)}
+            mat = self._chain_doc(d, steps, slots, dls)
+            if mat is not None:
+                spans = {(int(r[0]), int(r[-1])) for r in mat}
                 out.extend((d, s, e) for s, e in sorted(spans))
+        return out
+
+    def _chain_doc(self, d: int, steps, slots, dls):
+        """Doc-at-a-time slot chaining, FULL position capture: returns
+        the (n_matches × n_slots) position matrix for doc ``d`` (one row
+        per distinct constraint-position assignment) or None."""
+        import numpy as np
+
+        empty = np.empty(0, dtype=np.int64)
+        allowed0, ban0 = slots[0]
+        if allowed0 is None:
+            uni = np.arange(dls.get(d, 0), dtype=np.int64)
+            p0 = np.setdiff1d(uni, ban0.get(d, empty))
+        else:
+            p0 = np.asarray(allowed0.get(d, empty), dtype=np.int64)
+        if p0.size == 0:
+            return None
+        mat = p0.reshape(-1, 1)
+        for st, (allowed, ban) in zip(steps[1:], slots[1:]):
+            new_rows = []
+            if allowed is not None:
+                nxt = allowed.get(d)
+                if nxt is None:
+                    return None
+                for row in mat:
+                    p = row[-1]
+                    sel = nxt[(nxt >= p + st.lo) & (nxt <= p + st.hi)]
+                    if sel.size:
+                        new_rows.append(np.column_stack(
+                            [np.repeat(row.reshape(1, -1), sel.size, axis=0),
+                             sel]))
+            else:
+                banned = ban.get(d, empty)
+                dl = dls.get(d, 0)
+                for row in mat:
+                    p = row[-1]
+                    lo, hi = p + st.lo, min(p + st.hi, dl - 1)
+                    if hi < lo:
+                        continue
+                    sel = np.setdiff1d(
+                        np.arange(lo, hi + 1, dtype=np.int64), banned)
+                    if sel.size:
+                        new_rows.append(np.column_stack(
+                            [np.repeat(row.reshape(1, -1), sel.size, axis=0),
+                             sel]))
+            if not new_rows:
+                return None
+            mat = np.vstack(new_rows)
+        return mat
+
+    def pattern_matches(self, pattern: str | list,
+                        max_terms_per_slot: int = 256
+                        ) -> list[tuple[int, tuple[int, ...]]]:
+        """Distinct full match assignments ``[(doc_id, (pos per token
+        constraint...))]`` — the labeled-capture twin of
+        :meth:`pattern_hits` (what collocate extraction needs: the
+        position of EVERY slot, not just the span ends). Accepts a
+        pattern string or pre-parsed items (for head-substituted
+        patterns)."""
+        from ..plans.cql import _steps, parse_cql
+
+        items = parse_cql(pattern) if isinstance(pattern, str) else pattern
+        steps = _steps(items)
+        slots = self._slot_maps(steps, max_terms_per_slot)
+        pos_slots = [allowed for allowed, _ in slots if allowed is not None]
+        if not pos_slots:
+            raise NotImplementedError(
+                "pattern needs at least one non-negated constraint "
+                "index-side")
+        if any(not s for s in pos_slots):
+            return []
+        cand = set(pos_slots[0])
+        for s in pos_slots[1:]:
+            cand &= set(s)
+        if not cand:
+            return []
+        need_dl = any(allowed is None for allowed, _ in slots)
+        dls = self._doc_lens(sorted(cand)) if need_dl else {}
+        out: list[tuple[int, tuple[int, ...]]] = []
+        for d in sorted(cand):
+            mat = self._chain_doc(d, steps, slots, dls)
+            if mat is not None:
+                rows = {tuple(int(x) for x in r) for r in mat}
+                out.extend((d, r) for r in sorted(rows))
         return out
 
     def pattern_cost(self, pattern: str, max_terms_per_slot: int = 256

@@ -1,0 +1,161 @@
+"""Index-side word sketches: the reference's interactive serving model.
+
+The reference serves every sketch from the prebuilt index — BCQL
+relation patterns run as Lucene span queries, hits group by the lemma
+forward index, logDice ranks the collocates
+(``SketchHandlers.java:127-143`` → ``CollocateQueryHelper``). This
+module reproduces that loop over the engine's own artifacts:
+
+- relation pattern → :meth:`IndexSearcher.pattern_matches` (per-layer
+  positional postings, full constraint-position capture);
+- collocate identity at the labeled position via the FORWARD layer
+  store (``build_conllu_index`` writes doc → lemma array);
+- stats from the layer term dictionary (``layer_cf``) — no corpus scan
+  anywhere.
+
+The DataFrame path (``plans.relations.word_sketch_patterns``) is the
+batch/oracle-checked twin; a pytest pins rank-and-score identity
+between the two.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from ..plans.cql import (
+    DEFAULT_LAYERS,
+    TokenItem,
+    parse_cql,
+    substitute_at_position,
+)
+from ..plans.relations import GrammarCatalog, RelationConfig, pattern_pos_group
+
+
+def _logdice(fab: float, fa: float, fb: float) -> float:
+    """Python twin of ``functions.scoring.logdice_expr``."""
+    return max(0.0, math.log2(2.0 * fab / (fa + fb)) + 14.0)
+
+
+def _round(x: float, dp: int | None) -> float:
+    return x if dp is None else round(x, dp)
+
+
+def relation_collocates(
+    searcher,
+    head: str,
+    rel: RelationConfig,
+    subst_attr: str = "lemma",
+    colloc_attr: str = "lemma",
+    min_logdice: float = 0.0,
+    limit: int = 20,
+    round_dp: int | None = None,
+    max_terms_per_slot: int = 256,
+) -> list[tuple[str, int, float, float]]:
+    """One relation's ranked collocates, fully index-side:
+    ``[(colloc_term, pair_freq, logdice, rel_freq)]``.
+
+    Counting unit = distinct (doc, head-pos, colloc-pos) — identical to
+    ``plans.cql.pattern_collocates``.
+    """
+    items = parse_cql(rel.pattern)
+    token_items = [it for it in items if isinstance(it, TokenItem)]
+    labels = {it.label for it in token_items if it.label}
+    layer = DEFAULT_LAYERS[subst_attr]
+    if rel.dual and "2" not in labels:
+        pairs = _dual_window_pairs(searcher, head, rel, layer,
+                                   max_terms_per_slot)
+    else:
+        hi, ci = rel.head_position - 1, rel.colloc_position - 1
+        subst = substitute_at_position(items, head, rel.head_position,
+                                       attr=subst_attr)
+        matches = searcher.pattern_matches(subst, max_terms_per_slot)
+        pairs = {(d, row[hi], row[ci]) for d, row in matches}
+    if not pairs:
+        return []
+    fw = searcher.forward_layer(sorted({d for d, _, _ in pairs}),
+                                DEFAULT_LAYERS[colloc_attr])
+    counts: Counter[str] = Counter()
+    for d, _hp, cp in pairs:
+        arr = fw.get(d)
+        if arr is not None and 0 <= cp < len(arr):
+            counts[arr[cp]] += 1
+    if not counts:
+        return []
+    cf = searcher.layer_cf(DEFAULT_LAYERS[colloc_attr],
+                           sorted(counts) + [head])
+    head_cf = cf.get(head, 0)
+    if head_cf == 0:
+        return []
+    scored = []
+    for value, fab in counts.items():
+        fb = cf.get(value)
+        if fb is None:
+            continue
+        ld = _round(_logdice(fab, head_cf, fb), round_dp)
+        if ld < min_logdice:
+            continue
+        rf = _round(fab / head_cf, round_dp)
+        scored.append((value, fab, ld, rf))
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    return scored[:limit]
+
+
+def _dual_window_pairs(searcher, head: str, rel: RelationConfig,
+                       head_layer: str, max_terms_per_slot: int) -> set:
+    """Dual single-position relation: collocate constraint within
+    ``default_slop`` tokens of the head, either side (the DataFrame
+    twin's slop-window branch)."""
+    import numpy as np
+
+    from ..plans.cql import _steps
+
+    items = [it for it in parse_cql(rel.pattern)
+             if isinstance(it, TokenItem)]
+    citem = items[rel.head_position - 1]
+    heads = searcher._postings_with_positions(head, head_layer)
+    (allowed, _ban), = searcher._slot_maps(
+        _steps([citem]), max_terms_per_slot)
+    pairs = set()
+    for d in set(heads) & set(allowed):
+        hp = np.asarray(heads[d], dtype=np.int64)
+        cp = np.asarray(allowed[d], dtype=np.int64)
+        diff = np.abs(cp[None, :] - hp[:, None])
+        ii, jj = np.nonzero((diff >= 1) & (diff <= rel.default_slop))
+        pairs.update((d, int(hp[i]), int(cp[j])) for i, j in zip(ii, jj))
+    return pairs
+
+
+def index_word_sketch(
+    searcher,
+    head: str,
+    catalog: GrammarCatalog,
+    head_pos: str | None = None,
+    subst_attr: str = "lemma",
+    colloc_attr: str = "lemma",
+    limit_per_relation: int = 10,
+    min_logdice: float = 0.0,
+    round_dp: int | None = None,
+    relation_types: tuple[str, ...] = ("SURFACE",),
+    max_terms_per_slot: int = 256,
+) -> list[tuple[str, str, int, float, float]]:
+    """Full word sketch SERVED FROM THE INDEX: every applicable pattern
+    relation's ranked collocates —
+    ``[(relation, colloc_term, pair_freq, logdice, rel_freq)]`` — no
+    corpus scan, interactive latency (warm postings/dictionary caches).
+    Same fan-out, filters, and counting as
+    ``plans.relations.word_sketch_patterns``.
+    """
+    rels = [r for r in catalog.relations
+            if r.pattern and r.type in relation_types]
+    if head_pos is not None:
+        rels = [r for r in rels if pattern_pos_group(r) == head_pos]
+    out = []
+    for rel in rels:
+        for row in relation_collocates(
+                searcher, head, rel, subst_attr=subst_attr,
+                colloc_attr=colloc_attr, min_logdice=min_logdice,
+                limit=limit_per_relation, round_dp=round_dp,
+                max_terms_per_slot=max_terms_per_slot):
+            out.append((rel.id, *row))
+    return out
