@@ -86,6 +86,52 @@ def bench_headline(spark) -> dict[str, float]:
     return out
 
 
+def bench_index_sketch(spark) -> dict:
+    """Index-SERVED full word sketch over the 41-relation EN catalog —
+    the reference's headline serving loop (REST full-sketch fan-out,
+    BASELINE.md: ~40 surface relations, CQL band 50-200 ms/pattern).
+    Cold = first sketch (pulls layer postings + forward layers); warm =
+    min-of-3 from in-process caches."""
+    import __spark_entry__ as entrymod
+    from word_sketch_lucene_spark.index.build import build_conllu_index
+    from word_sketch_lucene_spark.plans.relations import (
+        EN_CATALOG,
+        GrammarCatalog,
+    )
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+    from word_sketch_lucene_spark.query.sketch import index_word_sketch
+
+    parsed = entrymod._parsed_conllu(spark, SF_DIR)
+    root = tempfile.mkdtemp(prefix="bench_sk_")
+    try:
+        t0 = time.perf_counter()
+        build_conllu_index(spark, parsed, root, n_partitions=CPUS)
+        build_s = time.perf_counter() - t0
+        s = IndexSearcher(spark, root)
+        cat = GrammarCatalog.load(EN_CATALOG)
+        t0 = time.perf_counter()
+        rows = index_word_sketch(s, "table", cat, limit_per_relation=20,
+                                 round_dp=4)
+        cold_s = time.perf_counter() - t0
+        warm = {}
+        for head in ("table", "row", "join"):
+            walls = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                r = index_word_sketch(s, head, cat, limit_per_relation=20,
+                                      round_dp=4)
+                walls.append(time.perf_counter() - t0)
+            warm[head] = {"ms": round(1000 * min(walls), 1), "rows": len(r)}
+        return {"build_sec": round(build_s, 3),
+                "n_surface_relations": len([r for r in cat.surface()
+                                            if r.pattern]),
+                "full_sketch_cold_sec": round(cold_s, 3),
+                "cold_rows": len(rows),
+                "full_sketch_warm": warm}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_index(spark) -> tuple[dict, dict]:
     from pyspark.sql import functions as F
 
@@ -313,6 +359,7 @@ def main() -> None:
     calib = _machine_calibration()
     spark = _fresh_spark(CPUS, "bench")
     queries = bench_headline(spark)
+    sketch = bench_index_sketch(spark)
     build, qe = bench_index(spark)
     zipf = bench_zipf_queries(spark) if SCALE_DOCS > 0 else {}
     spark.stop()  # the ONLY SparkContext of this process
@@ -333,6 +380,7 @@ def main() -> None:
         "machine_calibration_burn_sec": calib,
         "build": build,
         "query_engine": qe,
+        "index_sketch": sketch,
         "scaling": scaling,
     }
     print(json.dumps(out))

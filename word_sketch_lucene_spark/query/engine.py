@@ -129,6 +129,8 @@ class IndexSearcher:
         self._positions_cache: dict[tuple[str, str], dict] = {}
         self.positions_cache_max = 512
         self._expand_cache: dict[tuple[str, str, int], list[str]] = {}
+        self._forward_cache: dict[str, dict[int, list]] = {}
+        self._cf_cache: dict[str, dict[str, int]] = {}
         # term → list[block-row dict] cache: the analog of the reference
         # preloading collocations.bin for O(1) lookups (CLAUDE.md:190-196).
         # One pruned parquet scan per *miss set*, pure numpy afterwards.
@@ -288,34 +290,50 @@ class IndexSearcher:
                       ) -> dict[int, list]:
         """doc_id → value array (position order) for one annotation
         layer — the forward-index read that recovers "the lemma AT the
-        matched position" for collocate grouping (pruned scan per call,
-        candidate docs only)."""
-        fwp = self.root / "forward_layers"
-        if not fwp.exists():
-            raise NotImplementedError(
-                "index has no forward_layers store — build with "
-                "index.build.build_conllu_index(store_docstore=True)")
-        fw = self.spark.read.parquet(str(fwp))
-        if layer not in fw.columns:
-            raise ValueError(f"forward layer {layer!r} not stored "
-                             f"(available: {sorted(fw.columns)})")
-        rows = fw.filter(F.col("doc_id").isin(list(doc_ids))) \
-            .select("doc_id", layer).collect()
-        return {int(r["doc_id"]): list(r[layer]) for r in rows}
+        matched position" for collocate grouping. One pruned scan per
+        MISS set, cached per (layer, doc): a 41-relation sketch fan-out
+        touches mostly the same candidate docs per relation, and one
+        scan per relation would dominate serving latency."""
+        cache = self._forward_cache.setdefault(layer, {})
+        missing = [d for d in doc_ids if d not in cache]
+        if missing:
+            fwp = self.root / "forward_layers"
+            if not fwp.exists():
+                raise NotImplementedError(
+                    "index has no forward_layers store — build with "
+                    "index.build.build_conllu_index(store_docstore=True)")
+            fw = self.spark.read.parquet(str(fwp))
+            if layer not in fw.columns:
+                raise ValueError(f"forward layer {layer!r} not stored "
+                                 f"(available: {sorted(fw.columns)})")
+            rows = fw.filter(F.col("doc_id").isin(missing)) \
+                .select("doc_id", layer).collect()
+            found = {int(r["doc_id"]): list(r[layer]) for r in rows}
+            for d in missing:
+                cache[d] = found.get(d, [])
+        return {d: cache[d] for d in doc_ids}
 
     def layer_cf(self, layer: str, values: list[str]) -> dict[str, int]:
         """Collection frequencies for specific layer values (pruned
-        dictionary lookups — the sketch scorer's stats joins)."""
-        if layer == "term":
-            rows = self.term_stats.filter(F.col("term").isin(values)) \
-                .select(F.col("term").alias("value"), "cf").collect()
-        else:
-            self._require_layers()
-            rows = (self.layer_stats
-                    .filter((F.col("layer") == layer)
-                            & F.col("value").isin(values))
-                    .select("value", "cf").collect())
-        return {r["value"]: int(r["cf"]) for r in rows}
+        dictionary lookups, cached per value — the sketch scorer's
+        stats joins)."""
+        cache = self._cf_cache.setdefault(layer, {})
+        missing = [v for v in values if v not in cache]
+        if missing:
+            if layer == "term":
+                rows = (self.term_stats.filter(F.col("term").isin(missing))
+                        .select(F.col("term").alias("value"), "cf")
+                        .collect())
+            else:
+                self._require_layers()
+                rows = (self.layer_stats
+                        .filter((F.col("layer") == layer)
+                                & F.col("value").isin(missing))
+                        .select("value", "cf").collect())
+            found = {r["value"]: int(r["cf"]) for r in rows}
+            for v in missing:
+                cache[v] = found.get(v, 0)
+        return {v: cache[v] for v in values if cache[v] > 0}
 
     def _doc_lens(self, doc_ids: list[int]) -> dict[int, int]:
         """doc_id → token count (the doc_lens stage; pruned scan per
@@ -484,7 +502,13 @@ class IndexSearcher:
     def _chain_doc(self, d: int, steps, slots, dls):
         """Doc-at-a-time slot chaining, FULL position capture: returns
         the (n_matches × n_slots) position matrix for doc ``d`` (one row
-        per distinct constraint-position assignment) or None."""
+        per distinct constraint-position assignment) or None.
+
+        Each extension is fully vectorized: a batched ``searchsorted``
+        range query of every partial row's gap window against the
+        slot's sorted position array (no per-row python in the hot
+        loop — a 41-relation sketch fan-out runs this for thousands of
+        candidate docs)."""
         import numpy as np
 
         empty = np.empty(0, dtype=np.int64)
@@ -498,35 +522,30 @@ class IndexSearcher:
             return None
         mat = p0.reshape(-1, 1)
         for st, (allowed, ban) in zip(steps[1:], slots[1:]):
-            new_rows = []
+            prevs = mat[:, -1]
             if allowed is not None:
                 nxt = allowed.get(d)
                 if nxt is None:
                     return None
-                for row in mat:
-                    p = row[-1]
-                    sel = nxt[(nxt >= p + st.lo) & (nxt <= p + st.hi)]
-                    if sel.size:
-                        new_rows.append(np.column_stack(
-                            [np.repeat(row.reshape(1, -1), sel.size, axis=0),
-                             sel]))
             else:
-                banned = ban.get(d, empty)
+                # complement slot: window positions minus banned — the
+                # candidate universe is [0, dl); materialize it once
                 dl = dls.get(d, 0)
-                for row in mat:
-                    p = row[-1]
-                    lo, hi = p + st.lo, min(p + st.hi, dl - 1)
-                    if hi < lo:
-                        continue
-                    sel = np.setdiff1d(
-                        np.arange(lo, hi + 1, dtype=np.int64), banned)
-                    if sel.size:
-                        new_rows.append(np.column_stack(
-                            [np.repeat(row.reshape(1, -1), sel.size, axis=0),
-                             sel]))
-            if not new_rows:
+                nxt = np.setdiff1d(np.arange(dl, dtype=np.int64),
+                                   ban.get(d, empty))
+            # batched range query: positions of nxt within each row's
+            # [prev+lo, prev+hi] window
+            left = np.searchsorted(nxt, prevs + st.lo, side="left")
+            right = np.searchsorted(nxt, prevs + st.hi, side="right")
+            counts = right - left
+            total = int(counts.sum())
+            if total == 0:
                 return None
-            mat = np.vstack(new_rows)
+            row_idx = np.repeat(np.arange(mat.shape[0]), counts)
+            within = (np.arange(total)
+                      - np.repeat(np.cumsum(counts) - counts, counts))
+            sel = nxt[np.repeat(left, counts) + within]
+            mat = np.column_stack([mat[row_idx], sel])
         return mat
 
     def pattern_matches(self, pattern: str | list,
