@@ -168,3 +168,60 @@ def _toy_layers(pages):
         F.col("term").alias("lemma"),
         F.when(F.col("term").rlike("^t[0-9]+$"), "NOUN")
         .otherwise("X").alias("upos"))
+
+
+def test_add_conllu_documents_incremental(spark, tmp_path):
+    """Incremental CoNLL-U indexing: base + delta merged must answer
+    layer patterns and sketches like a full build of the whole corpus
+    (compared through the name↔id mapping — delta ids are offset)."""
+    from word_sketch_lucene_spark.index.build import build_conllu_index
+    from word_sketch_lucene_spark.index.merge import add_conllu_documents
+    from word_sketch_lucene_spark.sources.conllu import read_conllu
+
+    SENTS = {
+        "a.conllu": ("1\tThe\tthe\tDET\tDT\t_\t2\tdet\n"
+                     "2\tcat\tcat\tNOUN\tNN\t_\t3\tnsubj\n"
+                     "3\tsleeps\tsleep\tVERB\tVBZ\t_\t0\troot\n"),
+        "b.conllu": ("1\tDogs\tdog\tNOUN\tNNS\t_\t2\tnsubj\n"
+                     "2\tbark\tbark\tVERB\tVBP\t_\t0\troot\n"),
+        "c.conllu": ("1\tA\ta\tDET\tDT\t_\t2\tdet\n"
+                     "2\tcat\tcat\tNOUN\tNN\t_\t3\tnsubj\n"
+                     "3\tbarks\tbark\tVERB\tVBZ\t_\t0\troot\n"),
+    }
+    base_dir, delta_dir, full_dir = (tmp_path / n
+                                     for n in ("base", "delta", "full"))
+    for d in (base_dir, delta_dir, full_dir):
+        d.mkdir()
+    for name, text in SENTS.items():
+        (full_dir / name).write_text(text)
+        ((delta_dir if name == "c.conllu" else base_dir) / name
+         ).write_text(text)
+
+    base_root = tmp_path / "base_idx"
+    build_conllu_index(spark, read_conllu(spark, str(base_dir)), base_root,
+                       doc_salt=1, n_partitions=2)
+    merged = add_conllu_documents(
+        spark, base_root, read_conllu(spark, str(delta_dir)),
+        tmp_path / "staging", doc_salt=1, n_partitions=2)
+    full_root = tmp_path / "full_idx"
+    build_conllu_index(spark, read_conllu(spark, str(full_dir)), full_root,
+                       doc_salt=1, n_partitions=2)
+
+    sm, sf_ = IndexSearcher(spark, merged), IndexSearcher(spark, full_root)
+
+    def names(root):
+        return {r["doc_id"]: r["doc_name"] for r in
+                spark.read.parquet(str(root / "doc_names")).collect()}
+
+    nm, nf = names(merged), names(full_root)
+    assert sorted(nm.values()) == sorted(nf.values())
+    for pattern in ('[upos="NOUN"] [lemma="bark"]',
+                    '[lemma="cat"]'):
+        got = {(nm[d], a, b) for d, a, b in sm.pattern_hits(pattern)}
+        want = {(nf[d], a, b) for d, a, b in sf_.pattern_hits(pattern)}
+        assert got == want and got, pattern
+    # BM25 scores identical through the name mapping
+    gm, _ = sm.search(["cat"], k=5)
+    gf, _ = sf_.search(["cat"], k=5)
+    assert {(nm[d], round(s, 10)) for d, s in gm} == \
+        {(nf[d], round(s, 10)) for d, s in gf}

@@ -170,6 +170,7 @@ def build_conllu_index(
     block_size: int = BLOCK_SIZE,
     store_docstore: bool = True,
     input_paths: list[str] | None = None,
+    id_offset: int = 0,
 ) -> dict:
     """Full multi-layer index from a parsed CoNLL-U corpus — the
     reference's PRIMARY ingestion (tagger output → BlackLab multi-field
@@ -179,7 +180,9 @@ def build_conllu_index(
 
     ``parsed``: the ``sources.conllu`` schema. String doc ids (file
     names) get dense numeric ids via the distributed two-phase
-    assignment; the name↔id mapping is written to ``<root>/doc_names``.
+    assignment (plus ``id_offset`` — delta builds offset past the base
+    index's ids, see ``merge.add_conllu_documents``); the name↔id
+    mapping is written to ``<root>/doc_names``.
     """
     from ..sources.conllu import layer_tokens
 
@@ -191,10 +194,16 @@ def build_conllu_index(
         names = (parsed.select(F.col("doc_id").alias("doc_name"))
                  .distinct())
         mapping = assign_doc_ids(names, "doc_id", order_col="doc_name")
+        if id_offset:
+            mapping = mapping.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(id_offset))
         mapping.write.mode("overwrite").parquet(str(paths.root / "doc_names"))
         mapping = spark.read.parquet(str(paths.root / "doc_names"))
         parsed = (parsed.withColumnRenamed("doc_id", "doc_name")
                   .join(mapping, "doc_name").drop("doc_name"))
+    elif id_offset:
+        parsed = parsed.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(id_offset))
     # all stages (term segments, layer postings, forward layers) read
     # the layer table; this function owns the actions, so the cache is
     # scoped here, not via the tracked registry

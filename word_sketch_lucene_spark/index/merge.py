@@ -175,6 +175,18 @@ def merge_indexes(
         )
         write_layer_stats(spark, paths.layers, paths.layer_stats)
 
+    # per-doc auxiliary stores fold by disjoint union (doc ids must not
+    # collide across inputs — the add_documents contract)
+    for aux in ("forward_layers", "doc_names"):
+        dirs = [str(Path(r) / aux) for r in in_roots
+                if (Path(r) / aux).exists()]
+        if dirs:
+            u = None
+            for p in dirs:
+                d = spark.read.parquet(p)
+                u = d if u is None else u.unionByName(d)
+            u.write.mode("overwrite").parquet(str(paths.root / aux))
+
     n_blocks = seg.count()
     st.commit(inputs_fp, cfg_fp,
               metrics={"n_blocks": n_blocks, "n_docs": stats["n_docs"]},
@@ -205,6 +217,32 @@ def add_documents(
     merged = staging / "merged"
     build_index(spark, new_pages, delta, doc_id_col=doc_id_col,
                 text_col=text_col, **build_kw)
+    merge_indexes(spark, [index_root, delta], merged)
+    return merged
+
+
+def add_conllu_documents(
+    spark: SparkSession,
+    index_root: str | Path,
+    new_parsed: DataFrame,
+    staging_root: str | Path,
+    **build_kw,
+) -> Path:
+    """Incremental MULTI-LAYER indexing: delta ``build_conllu_index``
+    with doc ids offset past the base index's max id, then an LSM merge
+    that folds segments, layers, forward layers, and the name↔id
+    mapping. Returns the merged root (atomic-swap contract as
+    :func:`add_documents`)."""
+    from .build import build_conllu_index
+
+    staging = Path(staging_root)
+    delta = staging / "delta"
+    merged = staging / "merged"
+    offset = int(
+        spark.read.parquet(str(Path(index_root) / "doc_lens"))
+        .agg(F.max("doc_id")).collect()[0][0]) + 1
+    build_conllu_index(spark, new_parsed, delta, id_offset=offset,
+                       **build_kw)
     merge_indexes(spark, [index_root, delta], merged)
     return merged
 
