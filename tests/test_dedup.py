@@ -143,3 +143,22 @@ def test_exact_duplicates_id_cap(spark):
     assert len(g) == 1
     assert g[0]["n_dups"] == 50 and g[0]["keeper"] == 0
     assert g[0]["dup_ids"] == [0, 1, 2, 3, 4]
+
+
+def test_minhash_signatures_batch_boundary_invariant(spark, docs_small):
+    """The run-detection reduceat kernel must produce identical
+    signatures regardless of Arrow batch boundaries (carry logic)."""
+    from word_sketch_lucene_spark.operators.dedup import minhash_signatures
+
+    sh = word_shingles(docs_small, 3, hashed=True).select(
+        "doc_id", F.col("shingle").alias("h"))
+    base = {r["doc_id"]: r["sig"]
+            for r in minhash_signatures(sh, 16).collect()}
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        tiny = {r["doc_id"]: r["sig"]
+                for r in minhash_signatures(sh, 16).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(base) == 500 and base == tiny

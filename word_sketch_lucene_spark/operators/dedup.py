@@ -79,18 +79,35 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 # ------------------------------------------------- n-gram Jaccard
 def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-grams per doc: ``(doc_id, shingle)``."""
+                  id_col: str = "doc_id", hashed: bool = False) -> DataFrame:
+    """Distinct word n-grams per doc: ``(doc_id, shingle)``.
+
+    ``hashed=True`` emits the 64-bit ``xxhash64`` of each n-gram's
+    token-array slice instead of the concatenated string — the scale
+    path every dedup operator uses internally: no string building, 8-
+    byte join/shuffle keys, and set identity preserved up to 64-bit
+    collisions (birthday-negligible below ~10⁹ distinct shingles;
+    Jaccard needs only equality, never the text).
+    """
     toks = tokens_expr(text_col)
     # n-gram via transform over index range; JVM-side, no UDF.
     # Guard: F.sequence(0, -1) would DESCEND, so short docs get [].
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    if hashed:
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.xxhash64(F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+    else:
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     # dedupe INSIDE the row (array_distinct, JVM-side) so no
     # corpus-wide distinct() shuffle is needed after the explode
     return docs.select(F.col(id_col).alias("doc_id"),
@@ -98,7 +115,8 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
 
 
 def _capped_shingles(docs: DataFrame, n: int, text_col: str, id_col: str,
-                     max_shingle_df: int | None) -> DataFrame:
+                     max_shingle_df: int | None,
+                     hashed: bool = False) -> DataFrame:
     """Shingle table with the hot-shingle document-frequency cap.
 
     A boilerplate shingle shared by 10⁶ docs creates ~10¹² candidate
@@ -113,7 +131,7 @@ def _capped_shingles(docs: DataFrame, n: int, text_col: str, id_col: str,
     every n-gram of the corpus. Caller releases via
     ``caching.release_all()`` after the final action.
     """
-    sh = word_shingles(docs, n, text_col, id_col)
+    sh = word_shingles(docs, n, text_col, id_col, hashed=hashed)
     if max_shingle_df is None:
         return sh
     sh = persist_tracked(sh)
@@ -139,7 +157,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     # the table you checkpoint to storage before the pair phase. The
     # caller releases both tracked caches after the final action.
     sh = persist_tracked(
-        _capped_shingles(docs, n, text_col, id_col, max_shingle_df))
+        _capped_shingles(docs, n, text_col, id_col, max_shingle_df,
+                         hashed=True))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("size"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -182,33 +201,25 @@ def _shingle_hashes_py(text: str, n: int) -> np.ndarray:
     return vals
 
 
-def make_minhash_udf(num_hashes: int = 64, shingle_n: int = 3, seed: int = 7,
-                     banned_hashes: np.ndarray | None = None):
-    """Arrow-vectorized MinHash signature UDF: text → array<long>.
+def make_minhash_udf(num_hashes: int = 64, shingle_n: int = 3, seed: int = 7):
+    """Arrow-vectorized MinHash signature UDF: text → array<long> — the
+    self-contained variant for STREAMING rows (no shingle table in
+    scope; batch dedup uses :func:`minhash_signatures` over the shared
+    shingle table instead).
 
     Permutations are affine maps ``(aᵢ·h + bᵢ) mod 2⁶¹-1`` with
-    deterministic aᵢ, bᵢ from splitmix64(seed, i). ``banned_hashes``
-    (sorted uint64) drops hot/boilerplate shingles from the signature
-    set so the signature estimates the SAME capped Jaccard the verify
-    phase computes.
+    deterministic aᵢ, bᵢ from splitmix64(seed, i).
     """
     idx = np.arange(num_hashes, dtype=np.uint64)
     a = (_splitmix64((np.uint64(seed) << np.uint64(32)) ^ idx) | np.uint64(1))
     bcoef = _splitmix64((np.uint64(seed + 1) << np.uint64(32)) ^ idx)
     MERS = np.uint64((1 << 61) - 1)
-    banned = (np.sort(banned_hashes.astype(np.uint64))
-              if banned_hashes is not None and banned_hashes.size
-              else None)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
             hs = _shingle_hashes_py(t or "", shingle_n)
-            if banned is not None and hs.size:
-                pos = np.searchsorted(banned, hs)
-                pos[pos == banned.size] = 0
-                hs = hs[banned[pos] != hs]
             if hs.size == 0:
                 out.append([0] * num_hashes)
                 continue
@@ -220,62 +231,92 @@ def make_minhash_udf(num_hashes: int = 64, shingle_n: int = 3, seed: int = 7,
     return minhash
 
 
-def _shingle_u64(shingles: list[str]) -> np.ndarray:
-    """Same md5-fold 64-bit hash as ``_shingle_hashes_py``."""
-    if not shingles:
-        return np.empty(0, dtype=np.uint64)
-    import hashlib
+def minhash_signatures(shingle_hashes: DataFrame, num_hashes: int = 64,
+                       seed: int = 7,
+                       n_partitions: int | None = None) -> DataFrame:
+    """``(doc_id, h:long)`` distinct shingle hashes → ``(doc_id,
+    sig:array<long>)`` MinHash signatures.
 
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-         for s in shingles),
-        dtype=np.uint64, count=len(shingles))
-
-
-def _hot_shingle_hashes(shingle_df: DataFrame,
-                        max_shingle_df: int) -> np.ndarray:
-    """64-bit hashes of shingles hotter than the df cap — the ban list
-    shipped into the signature UDF closure. Bounded: |hot| ≤ total
-    shingle occurrences / cap, and in a Zipf corpus the hot head is
-    tiny — thousands of strings, not a broadcast hazard."""
-    hot = (
-        shingle_df
-        .groupBy("shingle").agg(F.count("*").alias("sdf"))
-        .filter(F.col("sdf") > max_shingle_df)
-        .select("shingle").collect()
-    )
-    return _shingle_u64([r["shingle"] for r in hot])
-
-
-def minhash_lsh_candidates(
-    docs: DataFrame,
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_n: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    seed: int = 7,
-    max_shingle_df: int | None = None,
-    banned_hashes: np.ndarray | None = None,
-) -> DataFrame:
-    """LSH candidate pairs: equal band-slices of the MinHash signature.
-
-    ``(doc_a, doc_b, n_bands_matched)`` with ``doc_a < doc_b``. The
-    bucket join shuffles on (band_id, slice-hash) — web-scale friendly.
-    ``max_shingle_df`` bans hot shingles from the signatures so they
-    estimate the capped Jaccard that :func:`minhash_near_dups` verifies
-    (signature and verification over the same shingle universe);
-    ``banned_hashes`` passes a precomputed ban list instead.
+    One doc-keyed shuffle, then a run-detection ``mapInPandas`` kernel
+    (the same batch shape as the segment writer): the affine
+    permutation minimum for EVERY doc in an Arrow batch is one
+    ``minimum.reduceat`` over the (num_hashes × batch) transform — no
+    per-doc pandas group overhead, which matters at 10⁹ docs as much
+    as locally. The signature derives from the SAME shingle table the
+    verify phase joins, so the estimated and verified Jaccard agree by
+    construction.
     """
+    from collections.abc import Iterator
+
+    idx = np.arange(num_hashes, dtype=np.uint64)
+    a = (_splitmix64((np.uint64(seed) << np.uint64(32)) ^ idx) | np.uint64(1))
+    bcoef = _splitmix64((np.uint64(seed + 1) << np.uint64(32)) ^ idx)
+    MERS = np.uint64((1 << 61) - 1)
+
+    def _emit(docs: np.ndarray, hs: np.ndarray) -> pd.DataFrame:
+        change = np.flatnonzero(docs[1:] != docs[:-1]) + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        m = (a[:, None] * hs[None, :] + bcoef[:, None]) % MERS
+        mins = np.minimum.reduceat(m, starts, axis=1).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": docs[starts],
+            "sig": [mins[:, j].tolist() for j in range(starts.size)],
+        })
+
+    def _flush(carry_doc: int, carry: list[np.ndarray]) -> pd.DataFrame:
+        hs = np.concatenate(carry)
+        return _emit(np.full(hs.size, carry_doc, dtype=np.int64), hs)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry_doc = None
+        carry: list[np.ndarray] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+            hs = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
+            if carry_doc is not None:
+                if docs[0] == carry_doc:
+                    # prefix run continues the carried doc
+                    nz = np.flatnonzero(docs != carry_doc)
+                    end = int(nz[0]) if nz.size else docs.size
+                    carry.append(hs[:end])
+                    if end == docs.size:
+                        continue  # whole batch is one doc; keep carrying
+                    docs, hs = docs[end:], hs[end:]
+                yield _flush(carry_doc, carry)
+                carry_doc, carry = None, []
+            # hold the trailing run (it may continue into the next batch)
+            nz = np.flatnonzero(docs != docs[-1])
+            last_start = int(nz[-1] + 1) if nz.size else 0
+            carry_doc = int(docs[-1])
+            carry = [hs[last_start:]]
+            if last_start:
+                yield _emit(docs[:last_start], hs[:last_start])
+        if carry_doc is not None:
+            yield _flush(carry_doc, carry)
+
+    nparts = (n_partitions
+              or shingle_hashes.sparkSession.sparkContext.defaultParallelism)
+    return (shingle_hashes
+            .repartition(nparts, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .mapInPandas(kernel, "doc_id long, sig array<long>"))
+
+
+def _lsh_candidates_from_shingles(sh: DataFrame, num_hashes: int,
+                                  bands: int, seed: int) -> DataFrame:
+    """Shingle table → banded LSH candidate pairs (shared kernel of the
+    two public entry points). Shingles hash JVM-side (``xxhash64``);
+    docs with zero (post-cap) shingles simply produce no signature —
+    they cannot be near-dups under the capped metric."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    banned = banned_hashes
-    if banned is None and max_shingle_df is not None:
-        banned = _hot_shingle_hashes(
-            word_shingles(docs, shingle_n, text_col, id_col), max_shingle_df)
-    mh = make_minhash_udf(num_hashes, shingle_n, seed, banned_hashes=banned)
-    sigs = docs.select(F.col(id_col).alias("doc_id"),
-                       mh(F.col(text_col)).alias("sig"))
+    # the shingle column may already BE the 64-bit hash (scale path)
+    key = (F.col("shingle") if dict(sh.dtypes)["shingle"] == "bigint"
+           else F.xxhash64("shingle"))
+    sigs = minhash_signatures(
+        sh.select("doc_id", key.alias("h")), num_hashes, seed)
     banded = sigs.select(
         "doc_id",
         F.explode(F.transform(
@@ -298,10 +339,33 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs: equal band-slices of the MinHash signature.
+
+    ``(doc_a, doc_b, n_bands_matched)`` with ``doc_a < doc_b``. The
+    bucket join shuffles on (band_id, slice-hash) — web-scale friendly.
+    ``max_shingle_df`` drops hot shingles BEFORE signatures, so they
+    estimate the same capped Jaccard :func:`minhash_near_dups`
+    verifies.
+    """
+    sh = _capped_shingles(docs, shingle_n, text_col, id_col, max_shingle_df,
+                          hashed=True)
+    return _lsh_candidates_from_shingles(sh, num_hashes, bands, seed)
+
+
 def minhash_near_dups(docs: DataFrame, threshold: float = 0.8,
                       num_hashes: int = 64, bands: int = 16,
                       shingle_n: int = 3, text_col: str = "text",
-                      id_col: str = "doc_id",
+                      id_col: str = "doc_id", seed: int = 7,
                       max_shingle_df: int | None = None) -> DataFrame:
     """Candidates → exact-Jaccard verification ≥ threshold.
 
@@ -311,30 +375,14 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.8,
     is O(Σ |shingles(doc_a)| over candidates) — never the corpus-wide
     all-shared-shingle self-join that LSH exists to avoid.
 
-    ``max_shingle_df`` applies to BOTH the signatures (hot shingles
-    banned inside the UDF) and the verification Jaccard — candidate
-    generation and verification agree on the metric. The raw shingle
-    table is generated ONCE (persisted) and feeds the ban list and the
-    capped verification table.
+    ONE shingle table (persisted, df-capped when ``max_shingle_df`` is
+    set) feeds signatures, sizes, and verification — candidate
+    generation and the verified metric agree structurally.
     """
-    if max_shingle_df is None:
-        cand = minhash_lsh_candidates(docs, num_hashes, bands, shingle_n,
-                                      text_col, id_col)
-        sh = persist_tracked(word_shingles(docs, shingle_n, text_col, id_col))
-    else:
-        raw = persist_tracked(word_shingles(docs, shingle_n, text_col, id_col))
-        sdf = persist_tracked(
-            raw.groupBy("shingle").agg(F.count("*").alias("sdf")))
-        banned = _shingle_u64(
-            [r["shingle"] for r in
-             sdf.filter(F.col("sdf") > max_shingle_df)
-             .select("shingle").collect()])
-        cand = minhash_lsh_candidates(docs, num_hashes, bands, shingle_n,
-                                      text_col, id_col,
-                                      banned_hashes=banned)
-        sh = persist_tracked(
-            raw.join(sdf.filter(F.col("sdf") <= max_shingle_df), "shingle")
-            .select("doc_id", "shingle"))
+    sh = persist_tracked(
+        _capped_shingles(docs, shingle_n, text_col, id_col, max_shingle_df,
+                         hashed=True))
+    cand = _lsh_candidates_from_shingles(sh, num_hashes, bands, seed)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("size"))
     shared = (
         cand.select("doc_a", "doc_b")
