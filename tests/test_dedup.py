@@ -162,3 +162,22 @@ def test_minhash_signatures_batch_boundary_invariant(spark, docs_small):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert len(base) == 500 and base == tiny
+
+
+def test_simhash_signatures_matches_udf_semantics(spark):
+    """The shared-shingle-table simhash variant: identical docs get
+    identical signatures; disjoint docs differ (hash function differs
+    from the text UDF by design — xxhash64 vs md5 — so only structural
+    properties are pinned)."""
+    from word_sketch_lucene_spark.operators.dedup import simhash_signatures
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over dogs"),
+         (1, "the quick brown fox jumps over dogs"),
+         (2, "entirely different words appear here now")],
+        ["doc_id", "text"])
+    sh = word_shingles(docs, 2, hashed=True).select(
+        "doc_id", F.col("shingle").alias("h"))
+    sigs = {r["doc_id"]: r["sig"]
+            for r in simhash_signatures(sh).collect()}
+    assert sigs[0] == sigs[1] != sigs[2]
