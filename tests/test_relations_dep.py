@@ -357,3 +357,32 @@ def test_word_sketch_patterns_layer_positions(spark):
         "hold", head_label="1", colloc_label="2",
         subst_attr="lemma", colloc_attr="lemma").collect()
     assert [r["colloc_term"] for r in out2] == ["theory"]
+
+
+def test_index_pattern_concordance(spark, docs_small, tmp_path):
+    """Index-side BCQL → KWIC: spans + per-span keyword width + context
+    from the index's own docstore (no corpus access)."""
+    from word_sketch_lucene_spark.index.build import build_index
+    from word_sketch_lucene_spark.query.concordance import (
+        index_pattern_concordance,
+    )
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    root = tmp_path / "kwic_idx"
+    build_index(spark, docs_small, root, doc_salt=2, n_partitions=4)
+    s = IndexSearcher(spark, root)
+    pattern = '[word="spark"] []{0,1} [word="join"]'
+    page = index_pattern_concordance(s, pattern, page_size=5,
+                                     context=2).collect()
+    assert 0 < len(page) <= 5
+    spans = dict()
+    for d, a, b in s.pattern_hits(pattern):
+        spans.setdefault((d, a), b)
+    for r in page:
+        kw_toks = r["kw"].split()
+        assert kw_toks[0] == "spark" and kw_toks[-1] == "join"
+        end = spans[(r["doc_id"], r["pos"])]
+        assert len(kw_toks) == end - r["pos"] + 1  # span-wide keyword
+        assert len(r["left"].split()) <= 2 and len(r["right"].split()) <= 2
+    # ranks are the global (doc, pos) order, 1-based
+    assert [r["rank"] for r in page] == list(range(1, len(page) + 1))

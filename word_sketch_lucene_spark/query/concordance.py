@@ -44,13 +44,41 @@ def find_phrase_hits(tokens: DataFrame, phrase: list[str]) -> DataFrame:
     return hits
 
 
+def index_pattern_concordance(
+    searcher,
+    pattern: str,
+    offset: int = 0,
+    page_size: int = 20,
+    context: int = 5,
+) -> DataFrame:
+    """INDEX-side BCQL → KWIC page, end to end off the index artifacts:
+    spans from :meth:`IndexSearcher.pattern_hits_auto` (budgeted — hot
+    patterns run distributed), keyword width from each span's extent,
+    context from the index's own docstore (forward index). The
+    ``POST /api/bcql`` trace (SURVEY §3.3) without touching the corpus.
+    """
+    spans = searcher.pattern_hits_auto(pattern)
+    spark = searcher.spark
+    hits = spark.createDataFrame(
+        [(int(d), int(s), int(e - s + 1)) for d, s, e in spans],
+        "doc_id long, pos long, kw_len int")
+    docstore = spark.read.parquet(str(searcher.root / "docstore")) \
+        .select("doc_id", "tokens")
+    # per-span keyword width: reuse the page machinery with kw_len as a
+    # column (slice accepts column lengths)
+    page = concordance_page(hits, docstore, offset=offset,
+                            page_size=page_size, context=context,
+                            kw_len=F.col("kw_len"))
+    return page
+
+
 def concordance_page(
     hits: DataFrame,
     docstore: DataFrame,
     offset: int = 0,
     page_size: int = 20,
     context: int = 5,
-    kw_len: int = 1,
+    kw_len=1,
 ) -> DataFrame:
     """One KWIC page: ``(rank, doc_id, pos, left, kw, right)``.
 
