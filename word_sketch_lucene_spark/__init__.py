@@ -8,7 +8,10 @@ A from-scratch rebuild of the *capabilities* of milekpl/word-sketch-lucene
 - ``index``      — distributed inverted-index build: postings, segments,
                    manifests (resumable), LSM merge, corpus statistics
 - ``query``      — BM25 top-k engines (DataFrame path + block-max WAND kernel),
-                   concordance/KWIC
+                   multi-layer index-side CQL patterns, index-served word
+                   sketches (``query.sketch``), concordance/KWIC
+- ``caching``    — tracked persists + per-query release (cache hygiene
+                   for long-lived sessions)
 - ``operators``  — collocation sketches (logDice), proximity/dependency joins,
                    semantic-field exploration, dedup, similarity search, text QC
 - ``plans``      — grammar-relation catalog → DataFrame plan templates;
