@@ -353,3 +353,14 @@ def test_index_word_sketch_matches_dataframe_path(spark, docs_small,
     again = index_word_sketch(s, "table", cat, head_pos="NOUN",
                               limit_per_relation=10, round_dp=4)
     assert again == got
+    # DEP pattern relations (deprel layer) serve identically too
+    want_dep = [(r["relation"], r["colloc_term"], r["pair_freq"],
+                 r["logdice"], r["rel_freq"])
+                for r in word_sketch_patterns(
+                    lt, lemma_stats, "scan", cat, head_pos="VERB",
+                    relation_types=("DEP",), limit_per_relation=10,
+                    round_dp=4).collect()]
+    got_dep = index_word_sketch(s, "scan", cat, head_pos="VERB",
+                                relation_types=("DEP",),
+                                limit_per_relation=10, round_dp=4)
+    assert sorted(got_dep) == sorted(want_dep) and got_dep
