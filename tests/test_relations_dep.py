@@ -386,3 +386,21 @@ def test_index_pattern_concordance(spark, docs_small, tmp_path):
         assert len(r["left"].split()) <= 2 and len(r["right"].split()) <= 2
     # ranks are the global (doc, pos) order, 1-based
     assert [r["rank"] for r in page] == list(range(1, len(page) + 1))
+
+
+def test_catalog_loads_from_py_files_zip(tmp_path):
+    """spark-submit deployment: the catalog must load when the package
+    lives inside the --py-files zip (grammars/ shipped by package.py)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    subprocess.run([sys.executable, str(repo / "scripts" / "package.py")],
+                   check=True, capture_output=True)
+    zip_path = repo / "dist" / "word_sketch_lucene_spark.zip"
+    for name in ("relations.json", "relations_en.json"):
+        inside = Path(str(zip_path) + f"/grammars/{name}")
+        assert not inside.exists()  # only reachable through the zip
+        cat = GrammarCatalog.load(inside)
+        assert len(cat.relations) >= 47

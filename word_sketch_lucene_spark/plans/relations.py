@@ -58,6 +58,25 @@ def word_class_expr(col: Column) -> Column:
     return out.otherwise(expr)
 
 
+def _read_text(path: Path) -> str:
+    """Read a catalog file from the filesystem OR from inside the
+    ``--py-files`` deployment zip (``scripts/package.py`` ships
+    ``grammars/*.json`` alongside the code; ``__file__``-relative paths
+    then point INSIDE the archive, which plain ``read_text`` can't
+    open)."""
+    if path.exists():
+        return path.read_text()
+    p = str(path)
+    if ".zip" in p:
+        import zipfile
+
+        zpath, inner = p.split(".zip", 1)
+        inner = inner.lstrip("/\\").replace("\\", "/")
+        with zipfile.ZipFile(zpath + ".zip") as z:
+            return z.read(inner).decode("utf-8")
+    raise FileNotFoundError(p)
+
+
 @dataclass
 class RelationConfig:
     """One declarative relation (``config/RelationConfig.java:21-33``)."""
@@ -102,7 +121,7 @@ class GrammarCatalog:
 
     @classmethod
     def load(cls, path: str | Path = DEFAULT_CATALOG) -> "GrammarCatalog":
-        raw = json.loads(Path(path).read_text())
+        raw = json.loads(_read_text(Path(path)))
         if isinstance(raw, dict) and "relations" in raw:
             # reference wrapper form ({version, description, relations})
             raw = raw["relations"]
