@@ -131,6 +131,12 @@ class IndexSearcher:
         self._expand_cache: dict[tuple[str, str, int], list[str]] = {}
         self._forward_cache: dict[str, dict[int, list]] = {}
         self._cf_cache: dict[str, dict[str, int]] = {}
+        # merged per-TEST position maps: a sketch fan-out repeats the
+        # same constraints ([xpos="NN.*"] appears in ~15 relations) —
+        # re-merging a corpus-wide layer posting map per relation is
+        # the dominant warm-serving cost
+        self._test_map_cache: dict[tuple, dict] = {}
+        self.test_map_cache_max = 64
         # term → list[block-row dict] cache: the analog of the reference
         # preloading collocations.bin for O(1) lookups (CLAUDE.md:190-196).
         # One pruned parquet scan per *miss set*, pure numpy afterwards.
@@ -381,6 +387,33 @@ class IndexSearcher:
                 out.append((d, starts.tolist()))
         return out
 
+    @staticmethod
+    def _isect_sorted(a, b):
+        """Intersection of two SORTED-UNIQUE int arrays via
+        searchsorted membership — O(min log max), no re-sort
+        (np.intersect1d re-sorts and re-uniques; at 150k calls per
+        sketch fan-out that was the dominant warm-serving cost)."""
+        import numpy as np
+
+        if a.size > b.size:
+            a, b = b, a
+        if b.size == 0:
+            return b if a.size == 0 else a[:0]
+        idx = np.searchsorted(b, a)
+        idx[idx == b.size] = 0
+        return a[b[idx] == a]
+
+    @staticmethod
+    def _diff_sorted(a, b):
+        """a \\ b for SORTED-UNIQUE int arrays (same trick)."""
+        import numpy as np
+
+        if a.size == 0 or b.size == 0:
+            return a
+        idx = np.searchsorted(b, a)
+        idx[idx == b.size] = 0
+        return a[b[idx] != a]
+
     def _slot_maps(self, steps, max_terms_per_slot: int):
         """Per constraint slot: (allowed-positions map | None, banned map
         | None). ``allowed`` merges every test layer per doc (positive
@@ -410,14 +443,21 @@ class IndexSearcher:
                 else:
                     values = self.expand_layer_terms(
                         layer, t.value, max_terms_per_slot)
-                merged: dict[int, object] = {}
-                for v in values:
-                    for d, pl in self._postings_with_positions(
-                            v, layer).items():
-                        if d in merged:
-                            merged[d] = np.union1d(merged[d], pl)
-                        else:
-                            merged[d] = np.asarray(pl, dtype=np.int64)
+                ck = (layer, tuple(sorted(values)))
+                merged = self._test_map_cache.get(ck)
+                if merged is None:
+                    merged = {}
+                    for v in values:
+                        for d, pl in self._postings_with_positions(
+                                v, layer).items():
+                            if d in merged:
+                                merged[d] = np.union1d(merged[d], pl)
+                            else:
+                                merged[d] = np.asarray(pl, dtype=np.int64)
+                    if len(self._test_map_cache) >= self.test_map_cache_max:
+                        self._test_map_cache.pop(
+                            next(iter(self._test_map_cache)))
+                    self._test_map_cache[ck] = merged
                 (ban_maps if t.negated else pos_maps).append(merged)
             if pos_maps:
                 docs = set(pos_maps[0])
@@ -427,12 +467,12 @@ class IndexSearcher:
                 for d in docs:
                     a = pos_maps[0][d]
                     for m in pos_maps[1:]:
-                        a = np.intersect1d(a, m[d])
+                        a = self._isect_sorted(a, m[d])
                         if a.size == 0:
                             break
                     for bm in ban_maps:
                         if a.size and d in bm:
-                            a = np.setdiff1d(a, bm[d])
+                            a = self._diff_sorted(a, bm[d])
                     if a.size:
                         allowed[d] = a
                 out.append((allowed, None))
