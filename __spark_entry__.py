@@ -398,15 +398,22 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            round_dp=4)
 
 
-# rows-only checks (non-SQL-expressible: engine-specific hashing / LSH)
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dups, ORACLE-CHECKED end to end (md5-LE shingle
+    keys — ``md5_number_upper`` in DuckDB reproduces them exactly; the
+    affine-permutation signatures, band candidates, and capped-Jaccard
+    verify are all recomputed SQL-side from first principles)."""
     from word_sketch_lucene_spark.operators.dedup import minhash_near_dups
 
     return minhash_near_dups(_docs(spark, sf_dir), threshold=0.1,
-                             num_hashes=64, bands=16, max_shingle_df=100)
+                             num_hashes=64, bands=16, max_shingle_df=100,
+                             shingle_hash="md5le", round_dp=4)
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups, ORACLE-CHECKED: the oracle recomputes the
+    bit-vote signatures and applies the all-pairs Hamming filter (the
+    pigeonhole block join is lossless ≤ d, so the pair sets agree)."""
     from word_sketch_lucene_spark.operators.dedup import simhash_near_dups
 
     return simhash_near_dups(_docs(spark, sf_dir), max_hamming=6)
@@ -672,7 +679,12 @@ def oracle_sql() -> dict[str, str]:
         "cosine_near_dups": osql.sql_cosine_near_dups(0.4),
         "ivf_cosine_topk": osql.sql_ivf_cosine_topk([0, 1, 2], k=10,
                                                     n_centroids=8, n_probe=2),
-        # minhash/simhash/lsh/media: engine-specific hashing & binary
+        "minhash_near_dups": osql.sql_minhash_near_dups(
+            threshold=0.1, num_hashes=64, bands=16, shingle_n=3, seed=7,
+            max_shingle_df=100),
+        "simhash_near_dups": osql.sql_simhash_near_dups(
+            max_hamming=6, shingle_n=2),
+        # lsh_cosine_topk/media: engine-specific hyperplane LSH & binary
         # payloads — rows-only checks by design (driver records the
         # weaker check; python oracles cover them in tests/)
     }

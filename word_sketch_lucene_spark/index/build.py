@@ -233,8 +233,13 @@ def build_conllu_index(
                     F.array_sort(F.collect_list(F.struct("pos", c))),
                     pick).alias(c)
 
+            # sent_no/token_id/head are STRUCTURAL forward columns:
+            # sentence-bounded span matching (reference <s> spans,
+            # conllu-sentences.blf.yaml:16) and dependency-relation
+            # queries ("X" -deprel-> _) read them per candidate doc
             fw_cols = [c for c in ("term", "lemma", "upos", "xpos",
-                                   "deprel", "word_cs", "lemma_cs")
+                                   "deprel", "word_cs", "lemma_cs",
+                                   "sent_no", "token_id", "head")
                        if c in lt.columns]
             (
                 lt.groupBy("doc_id").agg(*[_arr(c) for c in fw_cols])

@@ -78,21 +78,52 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 
 # ------------------------------------------------- n-gram Jaccard
+def md5le64_expr(col: Column) -> Column:
+    """Signed-64 reinterpretation of the FIRST 8 BYTES of md5(col),
+    little-endian — bit-identical to ``_shingle_hashes_py``'s
+    ``int.from_bytes(md5(s).digest()[:8], "little")`` AND to DuckDB's
+    ``md5_number_upper`` (verified), so shingle keys built with it are
+    fully oracle-able. Pure JVM string ops: reverse the first 8 hex
+    byte-pairs, parse each 32-bit half, recombine with a wrapping
+    shift (two's complement = numpy's uint64 view)."""
+    hexs = F.md5(col)
+    def _pair(i: int) -> Column:
+        return F.substring(hexs, i, 2)
+    hi = F.conv(F.concat(_pair(15), _pair(13), _pair(11), _pair(9)),
+                16, 10).cast("long")
+    lo = F.conv(F.concat(_pair(7), _pair(5), _pair(3), _pair(1)),
+                16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id", hashed: bool = False) -> DataFrame:
+                  id_col: str = "doc_id",
+                  hashed: bool | str = False) -> DataFrame:
     """Distinct word n-grams per doc: ``(doc_id, shingle)``.
 
-    ``hashed=True`` emits the 64-bit ``xxhash64`` of each n-gram's
-    token-array slice instead of the concatenated string — the scale
-    path every dedup operator uses internally: no string building, 8-
-    byte join/shuffle keys, and set identity preserved up to 64-bit
-    collisions (birthday-negligible below ~10⁹ distinct shingles;
-    Jaccard needs only equality, never the text).
+    ``hashed=True`` (or ``"xxhash64"``) emits the 64-bit ``xxhash64``
+    of each n-gram's token-array slice instead of the concatenated
+    string — the scale path every dedup operator uses internally: no
+    string building, 8-byte join/shuffle keys, and set identity
+    preserved up to 64-bit collisions (birthday-negligible below ~10⁹
+    distinct shingles; Jaccard needs only equality, never the text).
+    ``hashed="md5le"`` hashes the joined shingle STRING with
+    :func:`md5le64_expr` instead — slower (string build + md5) but
+    reproducible in ANSI SQL, the oracle-checkable contract tier.
     """
     toks = tokens_expr(text_col)
     # n-gram via transform over index range; JVM-side, no UDF.
     # Guard: F.sequence(0, -1) would DESCEND, so short docs get [].
-    if hashed:
+    if hashed == "md5le":
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: md5le64_expr(
+                    F.concat_ws(" ", F.slice(toks, i + 1, n))),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+    elif hashed:
         grams = F.when(
             F.size(toks) >= n,
             F.transform(
@@ -116,7 +147,7 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
 
 def _capped_shingles(docs: DataFrame, n: int, text_col: str, id_col: str,
                      max_shingle_df: int | None,
-                     hashed: bool = False) -> DataFrame:
+                     hashed: bool | str = False) -> DataFrame:
     """Shingle table with the hot-shingle document-frequency cap.
 
     A boilerplate shingle shared by 10⁶ docs creates ~10¹² candidate
@@ -290,12 +321,15 @@ def minhash_signatures(shingle_hashes: DataFrame, num_hashes: int = 64,
                        seed: int = 7,
                        n_partitions: int | None = None) -> DataFrame:
     """``(doc_id, h:long)`` distinct shingle hashes → ``(doc_id,
-    sig:array<long>)`` MinHash signatures.
+    sig:array<long>, size:long)`` MinHash signatures.
 
     The affine permutation minimum for EVERY doc in an Arrow batch is
     one ``minimum.reduceat`` over the (num_hashes × batch) transform.
     The signature derives from the SAME shingle table the verify phase
     joins, so the estimated and verified Jaccard agree by construction.
+    ``size`` (the doc's shingle-set cardinality) rides along for free —
+    the kernel already sees every run length, so the Jaccard verify
+    phase needs no separate sizes aggregate over the shingle table.
     """
     idx = np.arange(num_hashes, dtype=np.uint64)
     a = (_splitmix64((np.uint64(seed) << np.uint64(32)) ^ idx) | np.uint64(1))
@@ -306,13 +340,15 @@ def minhash_signatures(shingle_hashes: DataFrame, num_hashes: int = 64,
         starts = _run_starts(docs)
         m = (a[:, None] * hs[None, :] + bcoef[:, None]) % MERS
         mins = np.minimum.reduceat(m, starts, axis=1).astype(np.int64)
+        sizes = np.diff(np.append(starts, docs.size))
         return pd.DataFrame({
             "doc_id": docs[starts],
             "sig": [mins[:, j].tolist() for j in range(starts.size)],
+            "size": sizes,
         })
 
     return _per_doc_signature_df(shingle_hashes, emit,
-                                 "doc_id long, sig array<long>",
+                                 "doc_id long, sig array<long>, size long",
                                  n_partitions)
 
 
@@ -344,13 +380,22 @@ def _lsh_candidates_from_shingles(sh: DataFrame, num_hashes: int,
     two public entry points). Shingles hash JVM-side (``xxhash64``);
     docs with zero (post-cap) shingles simply produce no signature —
     they cannot be near-dups under the capped metric."""
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     # the shingle column may already BE the 64-bit hash (scale path)
     key = (F.col("shingle") if dict(sh.dtypes)["shingle"] == "bigint"
            else F.xxhash64("shingle"))
     sigs = minhash_signatures(
         sh.select("doc_id", key.alias("h")), num_hashes, seed)
+    return _banded_candidates(sigs, num_hashes, bands)
+
+
+def _banded_candidates(sigs: DataFrame, num_hashes: int,
+                       bands: int) -> DataFrame:
+    """MinHash signatures → banded bucket-join candidate pairs
+    ``(doc_a, doc_b, n_bands_matched)``: equal band-slices hash into
+    the same (band, bucket) shuffle key — hot buckets are bounded by
+    band width, the web-scale property of LSH."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
     banded = sigs.select(
         "doc_id",
         F.explode(F.transform(
@@ -400,7 +445,9 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.8,
                       num_hashes: int = 64, bands: int = 16,
                       shingle_n: int = 3, text_col: str = "text",
                       id_col: str = "doc_id", seed: int = 7,
-                      max_shingle_df: int | None = None) -> DataFrame:
+                      max_shingle_df: int | None = None,
+                      shingle_hash: bool | str = True,
+                      round_dp: int | None = None) -> DataFrame:
     """Candidates → exact-Jaccard verification ≥ threshold.
 
     The verify phase touches ONLY LSH candidate pairs: each candidate
@@ -410,14 +457,24 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.8,
     all-shared-shingle self-join that LSH exists to avoid.
 
     ONE shingle table (persisted, df-capped when ``max_shingle_df`` is
-    set) feeds signatures, sizes, and verification — candidate
-    generation and the verified metric agree structurally.
+    set) feeds signatures and verification; per-doc set SIZES ride out
+    of the signature kernel itself (it sees every run length), so the
+    shingle table has exactly two consumers — no separate sizes pass.
+
+    ``shingle_hash="md5le"`` selects the ANSI-SQL-reproducible shingle
+    key (:func:`md5le64_expr`) — same output pair set up to 64-bit hash
+    collisions, used by the oracle-checked contract query; the default
+    ``xxhash64`` is the cheaper scale path.
     """
     sh = persist_tracked(
         _capped_shingles(docs, shingle_n, text_col, id_col, max_shingle_df,
-                         hashed=True))
-    cand = _lsh_candidates_from_shingles(sh, num_hashes, bands, seed)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("size"))
+                         hashed=shingle_hash))
+    # signatures + sizes in ONE kernel pass; persisted because both the
+    # banded candidate join and the sizes lookups read it
+    sigs = persist_tracked(minhash_signatures(
+        sh.select("doc_id", F.col("shingle").alias("h")), num_hashes, seed))
+    cand = _banded_candidates(sigs, num_hashes, bands)
+    sizes = sigs.select("doc_id", "size")
     shared = (
         cand.select("doc_a", "doc_b")
         .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
@@ -426,7 +483,7 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.8,
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
     )
-    return (
+    out = (
         cand.join(shared, ["doc_a", "doc_b"])
         .join(sizes.select(F.col("doc_id").alias("doc_a"),
                            F.col("size").alias("size_a")), "doc_a")
@@ -436,8 +493,10 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.8,
                     F.col("shared")
                     / (F.col("size_a") + F.col("size_b") - F.col("shared")))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard", "n_bands_matched")
     )
+    if round_dp is not None:
+        out = out.withColumn("jaccard", F.round("jaccard", round_dp))
+    return out.select("doc_a", "doc_b", "jaccard", "n_bands_matched")
 
 
 # ------------------------------------------------------------ SimHash

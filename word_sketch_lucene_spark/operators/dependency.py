@@ -19,7 +19,7 @@ real parse table would be queried.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scoring import logdice_expr
@@ -171,6 +171,106 @@ def dependency_pairs(annotated: DataFrame) -> DataFrame:
              "dep_term", "dep_wclass", "deprel")
 
 
+def _parsed_layer_col(attr: str) -> Column:
+    """Attribute → column over the PARSED CoNLL-U schema
+    (``sources/conllu.py``), mirroring ``sources.conllu.layer_tokens``'s
+    layer normalization (word/lemma lowercased; ``*_cs`` preserved)."""
+    exprs = {
+        "word": F.lower(F.col("word")), "term": F.lower(F.col("word")),
+        "lemma": F.lower(F.col("lemma")),
+        "word_cs": F.col("word"), "lemma_cs": F.col("lemma"),
+        "upos": F.col("upos"), "pos": F.col("upos"),
+        "xpos": F.col("xpos"), "tag": F.col("xpos"),
+        "deprel": F.col("deprel"),
+    }
+    if attr not in exprs:
+        raise ValueError(f"relation-query attribute {attr!r} not in the "
+                         f"CoNLL-U schema (available: {sorted(exprs)})")
+    return exprs[attr]
+
+
+def _item_pred_parsed(item) -> Column:
+    """Conjunction of one relation operand's tests over the parsed
+    schema (sensitivity flags routed like ``plans.cql``)."""
+    from ..plans.cql import _test_col, effective_test
+
+    pred = F.lit(True)
+    for t in item.tests:
+        t = effective_test(t)
+        pred = pred & _test_col(t, _parsed_layer_col(t.attr))
+    return pred
+
+
+def relation_query_pairs(parsed: DataFrame, query) -> DataFrame:
+    """Governor→dependent matches of a BCQL relation query
+    (``plans.cql.RelationQuery`` or its string form) over the parsed
+    CoNLL-U table — the reference's ``"lemma" -nsubj-> _``
+    (``BlackLabQueryExecutor.java:211-229``) as the SAME sentence-co-
+    keyed equi-join as :func:`dependency_pairs`, with the operand
+    constraints pushed below the join.
+
+    Returns ``(doc_id, sent_id, gov_id, dep_id, head_term, dep_term,
+    deprel)`` — terms are lemma-layer (lowercased), the grouping
+    identity the reference extracts from hit groups.
+    """
+    from ..plans.cql import parse_relation_query
+
+    rq = parse_relation_query(query) if isinstance(query, str) else query
+    if rq is None:
+        raise ValueError(f"not a relation query: {query!r}")
+    gov = parsed.filter(_item_pred_parsed(rq.source)).select(
+        F.col("doc_id").alias("doc_id_h"),
+        F.col("sent_id").alias("sent_id_h"),
+        F.col("token_id").alias("gov_id"),
+        F.lower(F.col("lemma")).alias("head_term"))
+    dep = parsed.filter(
+        (F.col("head") > 0) & (F.col("deprel") == rq.deprel)
+        & _item_pred_parsed(rq.target)
+    ).select("doc_id", "sent_id", F.col("head").alias("gov_join"),
+             F.col("token_id").alias("dep_id"),
+             F.lower(F.col("lemma")).alias("dep_term"), "deprel")
+    return dep.join(
+        gov,
+        (dep["doc_id"] == gov["doc_id_h"])
+        & (dep["sent_id"] == gov["sent_id_h"])
+        & (dep["gov_join"] == gov["gov_id"]),
+    ).select("doc_id", "sent_id", "gov_id", "dep_id",
+             "head_term", "dep_term", "deprel")
+
+
+def relation_query_collocates(
+    parsed: DataFrame,
+    term_stats: DataFrame,
+    query,
+    min_logdice: float = 0.0,
+    limit: int = 20,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """V9 relation-operator queries end to end: parse
+    ``"lemma" -deprel-> _``, match governor→dependent pairs, rank the
+    dependents by logDice — output-identical to
+    :func:`dependency_sketch` for the same (lemma, deprel)
+    (``queryAndRankDepCollocates``). The head lemma for f(A) comes from
+    the source operand's positive lemma/word literal."""
+    from ..plans.cql import parse_relation_query
+
+    rq = parse_relation_query(query) if isinstance(query, str) else query
+    if rq is None:
+        raise ValueError(f"not a relation query: {query!r}")
+    head = next((t.value.replace("\\", "") for t in rq.source.tests
+                 if t.attr in ("lemma", "word", "term") and not t.negated
+                 and t.is_literal), None)
+    if head is None:
+        raise ValueError("relation-query collocates need a literal "
+                         "lemma/word test on the source operand "
+                         "(the reference always substitutes one)")
+    pairs = relation_query_pairs(parsed, rq)
+    grouped = pairs.groupBy("dep_term").agg(F.count("*").alias("pair_freq"))
+    return _rank_dep_collocates(grouped, term_stats, head,
+                                min_logdice=min_logdice, limit=limit,
+                                round_dp=round_dp)
+
+
 def dependency_sketch_catalog(
     annotated: DataFrame,
     term_stats: DataFrame,
@@ -212,6 +312,18 @@ def dependency_sketch(
     if colloc_class:
         pairs = pairs.filter(F.col("dep_wclass") == colloc_class)
     grouped = pairs.groupBy("dep_term").agg(F.count("*").alias("pair_freq"))
+    return _rank_dep_collocates(grouped, term_stats, lemma,
+                                min_logdice=min_logdice, limit=limit,
+                                round_dp=round_dp)
+
+
+def _rank_dep_collocates(grouped: DataFrame, term_stats: DataFrame,
+                         lemma: str, min_logdice: float = 0.0,
+                         limit: int = 20,
+                         round_dp: int | None = None) -> DataFrame:
+    """Shared logDice ranking tail of every dependency collocate query:
+    ``(dep_term, pair_freq)`` counts → ``(dep_term, pair_freq,
+    logdice)`` top-k (``CollocateQueryHelper.buildAndRankCollocates``)."""
     head_cf = term_stats.filter(F.col("term") == lemma).select(
         F.col("cf").alias("head_cf"))
     # term_stats deliberately not broadcast-hinted (full-vocab table —

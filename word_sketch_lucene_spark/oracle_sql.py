@@ -687,6 +687,142 @@ WHERE shared * 1.0 / (sa.size + sb.size - shared) >= {threshold}
 """.strip()
 
 
+def _sql_shingles_cte(n: int, max_shingle_df: int | None) -> str:
+    """Shared CTE chain ``dt → sh`` (tokenized docs → distinct,
+    df-capped word n-gram shingles) — the blocking table every dedup
+    oracle starts from; semantics pinned to
+    ``operators.dedup.word_shingles`` / ``_capped_shingles``."""
+    base = f"""
+dt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents)"""
+    if max_shingle_df is None:
+        return base + f""",
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
+  FROM dt, unnest(range(1, len(toks) - {n - 2})) AS t(i)
+  WHERE len(toks) >= {n})"""
+    return base + f""",
+sh_all AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
+  FROM dt, unnest(range(1, len(toks) - {n - 2})) AS t(i)
+  WHERE len(toks) >= {n}),
+sh AS (
+  SELECT doc_id, shingle FROM sh_all
+  WHERE shingle IN (SELECT shingle FROM sh_all GROUP BY shingle
+                    HAVING count(*) <= {max_shingle_df}))"""
+
+
+_U64 = "18446744073709551616"  # 2^64
+_I64 = "9223372036854775808"   # 2^63
+_MERS = "2305843009213693951"  # 2^61 - 1
+
+
+def _minhash_perm_values(num_hashes: int, seed: int) -> str:
+    """The deterministic affine-permutation coefficients (aᵢ, bᵢ) of
+    ``operators.dedup.minhash_signatures`` as a SQL VALUES list — the
+    oracle embeds the CONSTANTS, not the splitmix64 derivation."""
+    import numpy as np
+
+    from .sources.pages import _splitmix64
+
+    idx = np.arange(num_hashes, dtype=np.uint64)
+    a = (_splitmix64((np.uint64(seed) << np.uint64(32)) ^ idx)
+         | np.uint64(1))
+    b = _splitmix64((np.uint64(seed + 1) << np.uint64(32)) ^ idx)
+    return ", ".join(f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)"
+                     for i in range(num_hashes))
+
+
+def sql_minhash_near_dups(threshold: float = 0.1, num_hashes: int = 64,
+                          bands: int = 16, shingle_n: int = 3,
+                          seed: int = 7,
+                          max_shingle_df: int | None = None) -> str:
+    """MinHash+LSH near-dups from first principles: md5-LE shingle keys
+    (``md5_number_upper`` ≡ the engine's :func:`~.operators.dedup.
+    md5le64_expr`), the affine permutation minimum with numpy's
+    wrap-mod-2⁶⁴ multiply emulated via 32-bit split HUGEINT arithmetic,
+    band slices compared BY VALUE (the engine buckets by a 32-bit hash
+    of the same slice — identical up to negligible hash collisions),
+    then the exact capped-Jaccard verify over LSH candidates only."""
+    rpb = num_hashes // bands
+    assert rpb * bands == num_hashes
+    return f"""
+WITH {_sql_shingles_cte(shingle_n, max_shingle_df).lstrip()},
+hs AS (
+  SELECT doc_id, CAST(md5_number_upper(shingle) AS HUGEINT) AS h FROM sh),
+perm(i, a, b) AS (VALUES {_minhash_perm_values(num_hashes, seed)}),
+sigv AS (
+  SELECT doc_id, i,
+         min((((a % 4294967296) * (h % 4294967296)
+               + (((a % 4294967296) * (h // 4294967296)
+                   + (a // 4294967296) * (h % 4294967296)) % 4294967296)
+                 * 4294967296
+               + b) % {_U64}::HUGEINT) % {_MERS}) AS mv
+  FROM hs, perm GROUP BY doc_id, i),
+bnd AS (
+  SELECT doc_id, i // {rpb} AS band,
+         string_agg(mv::VARCHAR, ',' ORDER BY i) AS slice
+  FROM sigv GROUP BY doc_id, i // {rpb}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS n_bands_matched
+  FROM bnd a JOIN bnd b ON a.band = b.band AND a.slice = b.slice
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS size FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS shared
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b,
+       round(s.shared * 1.0 / (sa.size + sb.size - s.shared), 4) AS jaccard,
+       c.n_bands_matched
+FROM cand c
+JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE s.shared * 1.0 / (sa.size + sb.size - s.shared) >= {threshold}
+""".strip()
+
+
+def sql_simhash_near_dups(max_hamming: int = 6, shingle_n: int = 2) -> str:
+    """SimHash near-dups from first principles: md5-LE shingle hashes,
+    per-bit majority votes, sign-bit reassembly to the engine's signed
+    64-bit signature, then the ALL-PAIRS Hamming filter — exactly the
+    pair set the engine's pigeonhole block join produces (the block
+    trick is lossless for distance ≤ d), without replicating the
+    blocking mechanics. Docs with no shingles get signature 0, like
+    the UDF."""
+    powers = ", ".join(f"({j}, {1 << j}::HUGEINT)" for j in range(64))
+    return f"""
+WITH {_sql_shingles_cte(shingle_n, None).lstrip()},
+hs AS (SELECT doc_id, md5_number_upper(shingle) AS h FROM sh),
+pw(j, p) AS (VALUES {powers}),
+votes AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM hs, pw GROUP BY doc_id, j),
+sig_u AS (
+  SELECT v.doc_id,
+         sum(CASE WHEN v.vote > 0 THEN p.p ELSE 0::HUGEINT END) AS s
+  FROM votes v JOIN pw p ON p.j = v.j GROUP BY v.doc_id),
+sigs AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN u.s IS NULL THEN 0
+                   WHEN u.s >= {_I64}::HUGEINT THEN u.s - {_U64}::HUGEINT
+                   ELSE u.s END AS BIGINT) AS sig
+  FROM documents d LEFT JOIN sig_u u ON u.doc_id = d.doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+""".strip()
+
+
 def sql_token_counts() -> str:
     return r"""
 SELECT doc_id,

@@ -165,6 +165,74 @@ def parse_cql(pattern: str) -> list[TokenItem | GapItem]:
     return items
 
 
+@dataclass
+class RelationQuery:
+    """A dependency-relation query ``SOURCE -deprel-> TARGET`` — the
+    reference's BCQL relation-operator form
+    (``BlackLabQueryExecutor.executeDependencyPattern``,
+    ``BlackLabQueryExecutor.java:211-229``: ``"lemma" -nsubj-> _`` or
+    ``[lemma="x" & xpos="VB.*"] -nsubj-> _``). ``source`` constrains
+    the GOVERNOR token, ``target`` the DEPENDENT; ``_`` parses to an
+    unconstrained item. Quoted literals are LEMMA tests here (the
+    reference substitutes the lowercased lemma into the quoted slot)."""
+
+    source: TokenItem
+    deprel: str
+    target: TokenItem
+
+
+_REL_OP_RE = re.compile(r"\s*-(?P<rel>\w[\w:]*)->\s*")
+_WILD_RE = re.compile(r"\s*_\s*")
+
+
+def _parse_rel_operand(pattern: str, pos: int,
+                       lit_attr: str) -> tuple[TokenItem | None, int]:
+    m = _WILD_RE.match(pattern, pos)
+    if m:
+        return TokenItem([]), m.end()
+    m = _TOKEN_RE.match(pattern, pos)
+    if not m or m.group("gmin") is not None:
+        return None, pos
+    if m.group("lit") is not None:
+        return TokenItem([AttrTest(lit_attr,
+                                   re.escape(m.group("lit")))]), m.end()
+    if m.group("label") is not None:
+        return TokenItem(_parse_body(m.group("lbody")),
+                         label=m.group("label")), m.end()
+    body = (m.group("body") or "").strip()
+    if not body:  # bare [] is a gap item, not a relation operand
+        return None, pos
+    return TokenItem(_parse_body(body)), m.end()
+
+
+def parse_relation_query(pattern: str,
+                         lit_attr: str = "lemma") -> RelationQuery | None:
+    """Parse ``SOURCE -deprel-> TARGET``; ``None`` when the pattern has
+    no relation operator (so callers can fall through to
+    :func:`parse_cql`). Raises ``ValueError`` on a malformed relation
+    query (operator present but operands unparseable / trailing junk).
+
+    ``lit_attr``: the layer a bare quoted literal tests — ``lemma`` to
+    match the reference, which always substitutes the lemma into the
+    quoted position (``executeDependencyPattern``)."""
+    if "->" not in pattern:
+        return None
+    src, p = _parse_rel_operand(pattern, 0, lit_attr)
+    if src is None:
+        return None
+    m = _REL_OP_RE.match(pattern, p)
+    if not m:
+        return None
+    tgt, p2 = _parse_rel_operand(pattern, m.end(), lit_attr)
+    if tgt is None:
+        raise ValueError(
+            f"bad relation-query target at: {pattern[m.end():]!r}")
+    if pattern[p2:].strip():
+        raise ValueError(
+            f"trailing content after relation query: {pattern[p2:]!r}")
+    return RelationQuery(src, m.group("rel"), tgt)
+
+
 def substitute_at_position(items: list[TokenItem | GapItem], value: str,
                            position: int, attr: str = "word"
                            ) -> list[TokenItem | GapItem]:
@@ -275,6 +343,7 @@ def compile_cql(
     pattern: str | list[TokenItem | GapItem],
     keep_terms: bool = True,
     capture_attrs: tuple[str, ...] = (),
+    within_sentence: bool = False,
 ) -> DataFrame:
     """Compile a pattern to the DataFrame of its matches.
 
@@ -288,13 +357,26 @@ def compile_cql(
     Plan: filtered token projections chained by positional joins —
     fixed-offset steps are pure equi-joins on ``(doc_id, pos)``;
     variable gaps add a band predicate on the same hash join.
+
+    ``within_sentence=True`` constrains the whole match to one sentence
+    (requires a ``sent_no`` column — ``sources.conllu.layer_tokens``
+    emits it): the reference indexes ``<s>`` spans and its span queries
+    never cross them (``conllu-sentences.blf.yaml:16``). Sentences are
+    position-contiguous, so equality of the two END slots' sentence
+    ordinals (folded into each positional join) bounds every token
+    between them too.
     """
     items = parse_cql(pattern) if isinstance(pattern, str) else pattern
     steps = _steps(items)
     cols = tokens.columns
+    if within_sentence and "sent_no" not in cols:
+        raise ValueError("within_sentence=True needs a sent_no column "
+                         "(sources.conllu.layer_tokens emits it)")
 
     def _side(i: int, item: TokenItem) -> DataFrame:
         sel = [F.col("doc_id").alias(f"d{i}"), F.col("pos").alias(f"p{i}")]
+        if within_sentence:
+            sel.append(F.col("sent_no").alias(f"s{i}"))
         if keep_terms:
             sel.append(F.col("term").alias(f"t{i}"))
         if item.label is not None:
@@ -313,7 +395,9 @@ def compile_cql(
             cond = (F.col(f"d{i}") == F.col("d0")) & \
                    (F.col(f"p{i}") >= prev_p + st.lo) & \
                    (F.col(f"p{i}") <= prev_p + st.hi)
-        cur = cur.join(nxt, cond).drop(f"d{i}")
+        if within_sentence:
+            cond = cond & (F.col(f"s{i}") == F.col("s0"))
+        cur = cur.join(nxt, cond).drop(f"d{i}", f"s{i}")
     last = len(steps) - 1
     out_cols = [F.col("d0").alias("doc_id"), F.col("p0").alias("start"),
                 F.col(f"p{last}").alias("end")]

@@ -341,6 +341,33 @@ class IndexSearcher:
                 cache[v] = found.get(v, 0)
         return {v: cache[v] for v in values if cache[v] > 0}
 
+    def forward_token_table(self) -> DataFrame | None:
+        """DISTRIBUTED multi-layer token table derived from the index's
+        own ``forward_layers`` store: ``posexplode`` of the per-doc
+        value arrays → ``(doc_id, pos, term, lemma, upos, xpos, deprel,
+        …)`` — exactly the shape :func:`..plans.cql.compile_cql`
+        consumes. This is how a HOT pattern leaves the driver: the
+        reference executes every pattern in its in-process index
+        (``BlackLabQueryExecutor.java:117-144``) because one node holds
+        the corpus; at 100× corpus the same query must shard, and the
+        forward store already is a doc-partitioned parquet table.
+        Falls back to the term-only ``docstore`` when no forward layers
+        were built; ``None`` when neither exists."""
+        fwp = self.root / "forward_layers"
+        if fwp.exists():
+            fw = self.spark.read.parquet(str(fwp))
+            cols = [c for c in fw.columns if c != "doc_id"]
+            return fw.select(
+                "doc_id",
+                F.posexplode(F.arrays_zip(*cols)).alias("pos", "z"),
+            ).select("doc_id", F.col("pos").cast("long").alias("pos"),
+                     *[F.col(f"z.{c}").alias(c) for c in cols])
+        ds = self.root / "docstore"
+        if ds.exists():
+            return self.spark.read.parquet(str(ds)).select(
+                "doc_id", F.posexplode("tokens").alias("pos", "term"))
+        return None
+
     def _doc_lens(self, doc_ids: list[int]) -> dict[int, int]:
         """doc_id → token count (the doc_lens stage; pruned scan per
         miss set) — the position universe for complement (negation)
@@ -488,7 +515,21 @@ class IndexSearcher:
                 out.append((None, ban))
         return out
 
-    def pattern_hits(self, pattern: str, max_terms_per_slot: int = 256
+    def _sent_filter(self, mat, sents):
+        """Keep only match rows whose first and last slot positions lie
+        in the same sentence (``sent_no`` forward array; sentences are
+        position-contiguous so the two ends bound every slot between).
+        ``sents`` may be an empty list when the doc has no stored
+        array — then nothing is constrained away (flat-stream corpus)."""
+        import numpy as np
+
+        if not len(sents):
+            return mat
+        s = np.asarray(sents, dtype=np.int64)
+        return mat[s[mat[:, 0]] == s[mat[:, -1]]]
+
+    def pattern_hits(self, pattern: str, max_terms_per_slot: int = 256,
+                     within_sentence: bool = False
                      ) -> list[tuple[int, int, int]]:
         """Index-side mini-BCQL execution — the reference's main query
         path runs CQL against the Lucene index
@@ -507,6 +548,11 @@ class IndexSearcher:
         position universe ``[0, dl)`` from the doc_lens stage). At
         least one slot must have a positive test (the candidate-doc
         driver); purely negative patterns are DataFrame-path only.
+
+        ``within_sentence=True`` drops matches whose ends lie in
+        different sentences (``sent_no`` forward array — the reference
+        indexes ``<s>`` spans and gap patterns never cross them,
+        ``conllu-sentences.blf.yaml:16``).
 
         Returns distinct ``[(doc_id, start, end)]`` sorted.
         """
@@ -531,9 +577,15 @@ class IndexSearcher:
             return []
         need_dl = any(allowed is None for allowed, _ in slots)
         dls = self._doc_lens(sorted(cand)) if need_dl else {}
+        sent_fw = (self.forward_layer(sorted(cand), "sent_no")
+                   if within_sentence else None)
         out: list[tuple[int, int, int]] = []
         for d in sorted(cand):
             mat = self._chain_doc(d, steps, slots, dls)
+            if mat is not None and within_sentence:
+                mat = self._sent_filter(mat, sent_fw.get(d, []))
+                if not mat.shape[0]:
+                    mat = None
             if mat is not None:
                 spans = {(int(r[0]), int(r[-1])) for r in mat}
                 out.extend((d, s, e) for s, e in sorted(spans))
@@ -589,7 +641,8 @@ class IndexSearcher:
         return mat
 
     def pattern_matches(self, pattern: str | list,
-                        max_terms_per_slot: int = 256
+                        max_terms_per_slot: int = 256,
+                        within_sentence: bool = False
                         ) -> list[tuple[int, tuple[int, ...]]]:
         """Distinct full match assignments ``[(doc_id, (pos per token
         constraint...))]`` — the labeled-capture twin of
@@ -616,12 +669,82 @@ class IndexSearcher:
             return []
         need_dl = any(allowed is None for allowed, _ in slots)
         dls = self._doc_lens(sorted(cand)) if need_dl else {}
+        sent_fw = (self.forward_layer(sorted(cand), "sent_no")
+                   if within_sentence else None)
         out: list[tuple[int, tuple[int, ...]]] = []
         for d in sorted(cand):
             mat = self._chain_doc(d, steps, slots, dls)
-            if mat is not None:
+            if mat is not None and within_sentence:
+                mat = self._sent_filter(mat, sent_fw.get(d, []))
+            if mat is not None and mat.shape[0]:
                 rows = {tuple(int(x) for x in r) for r in mat}
                 out.extend((d, r) for r in sorted(rows))
+        return out
+
+    def relation_matches(self, query, max_terms_per_slot: int = 256
+                         ) -> list[tuple[int, int, int]]:
+        """INDEX-side execution of a BCQL dependency-relation query
+        ``SOURCE -deprel-> TARGET`` (``plans.cql.RelationQuery``) — the
+        reference's relation-operator path
+        (``BlackLabQueryExecutor.java:211-229``) over the engine's own
+        artifacts: the DEPENDENT side (target tests + the positive
+        ``deprel`` test) drives candidates through the layer postings,
+        then the ``sent_no``/``token_id``/``head`` forward arrays
+        resolve each dependent to its governor position (CoNLL-U token
+        ids are dense 1..n per sentence, so governor position =
+        sentence start + head-id − 1, verified against the stored
+        token_id). Returns ``[(doc_id, gov_pos, dep_pos)]`` sorted.
+        """
+        import numpy as np
+
+        from ..plans.cql import (
+            AttrTest,
+            TokenItem,
+            _steps,
+            parse_relation_query,
+        )
+
+        rq = (parse_relation_query(query) if isinstance(query, str)
+              else query)
+        if rq is None:
+            raise ValueError(f"not a relation query: {query!r}")
+        dep_item = TokenItem(list(rq.target.tests)
+                             + [AttrTest("deprel", rq.deprel)])
+        (dep_allowed, _), = self._slot_maps(_steps([dep_item]),
+                                            max_terms_per_slot)
+        src_allowed = None
+        if rq.source.tests:
+            if all(t.negated for t in rq.source.tests):
+                raise NotImplementedError(
+                    "purely negative source operand is DataFrame-path "
+                    "only (operators.dependency.relation_query_pairs)")
+            (src_allowed, _), = self._slot_maps(_steps([rq.source]),
+                                                max_terms_per_slot)
+        docs = sorted(set(dep_allowed)
+                      & (set(src_allowed) if src_allowed is not None
+                         else set(dep_allowed)))
+        if not docs:
+            return []
+        fw_sent = self.forward_layer(docs, "sent_no")
+        fw_tok = self.forward_layer(docs, "token_id")
+        fw_head = self.forward_layer(docs, "head")
+        out: list[tuple[int, int, int]] = []
+        for d in docs:
+            sent = np.asarray(fw_sent[d], dtype=np.int64)
+            tok = np.asarray(fw_tok[d], dtype=np.int64)
+            head = np.asarray(fw_head[d], dtype=np.int64)
+            dp = np.asarray(dep_allowed[d], dtype=np.int64)
+            if dp.size == 0 or sent.size == 0:
+                continue
+            hd = head[dp]
+            gp = np.searchsorted(sent, sent[dp], side="left") + hd - 1
+            ok = (hd > 0) & (gp >= 0) & (gp < sent.size)
+            gp_c = np.clip(gp, 0, sent.size - 1)
+            ok &= (tok[gp_c] == hd) & (sent[gp_c] == sent[dp])
+            if src_allowed is not None:
+                ok &= np.isin(gp_c, src_allowed[d])
+            for g, p in zip(gp_c[ok], dp[ok]):
+                out.append((d, int(g), int(p)))
         return out
 
     def pattern_cost(self, pattern: str, max_terms_per_slot: int = 256
@@ -666,11 +789,13 @@ class IndexSearcher:
         vocabulary-scale postings union driver-side, so when the Σdf
         estimate exceeds ``df_budget`` (or an expansion hit the term
         cap, which would silently truncate matches) the pattern runs as
-        a distributed DataFrame plan over the forward index instead —
-        same spans, executor-side work. Layered hot patterns without a
-        layer-complete forward index stay on the index path (capped,
-        documented best-effort, like the reference's max term
-        expansion)."""
+        a distributed DataFrame plan over the forward token table
+        instead — same spans, executor-side work, LAYER-complete: every
+        attribute with a stored forward layer (term/lemma/upos/xpos/
+        deprel + case variants) routes through the same fallback. Only
+        a pattern testing an attribute the forward store lacks stays on
+        the index path (capped, documented best-effort, like the
+        reference's max term expansion)."""
         cost, capped = self.pattern_cost(pattern, max_terms_per_slot)
         if cost <= df_budget and not capped:
             return self.pattern_hits(pattern, max_terms_per_slot)
@@ -682,14 +807,16 @@ class IndexSearcher:
             parse_cql,
         )
 
-        attrs = {effective_test(t).attr for st in _steps(parse_cql(pattern))
-                 for t in st.item.tests}
-        term_only = all(DEFAULT_LAYERS.get(a) == "term" for a in attrs)
-        ds = self.root / "docstore"
-        if not term_only or not ds.exists():
+        tokens = self.forward_token_table()
+        if tokens is not None:
+            attrs = {effective_test(t).attr
+                     for st in _steps(parse_cql(pattern))
+                     for t in st.item.tests}
+            cols = set(tokens.columns)
+            if not all(DEFAULT_LAYERS.get(a, a) in cols for a in attrs):
+                tokens = None
+        if tokens is None:
             return self.pattern_hits(pattern, max_terms_per_slot)
-        tokens = self.spark.read.parquet(str(ds)).select(
-            "doc_id", F.posexplode("tokens").alias("pos", "term"))
         rows = (compile_cql(tokens, pattern, keep_terms=False)
                 .select("doc_id", "start", "end")
                 .orderBy("doc_id", "start", "end").collect())

@@ -126,6 +126,120 @@ def _dual_window_pairs(searcher, head: str, rel: RelationConfig,
     return pairs
 
 
+def layer_stats_df(searcher, layer: str):
+    """One layer's term dictionary as a ``(term, cf)`` DataFrame —
+    the stats side every sketch scorer joins, served from the index's
+    own ``layer_stats`` dataset (no corpus scan)."""
+    from pyspark.sql import functions as F
+
+    if layer == "term":
+        return searcher.term_stats.select("term", "cf")
+    searcher._require_layers()
+    return (searcher.layer_stats.filter(F.col("layer") == layer)
+            .select(F.col("value").alias("term"), "cf"))
+
+
+def index_word_sketch_distributed(
+    searcher,
+    head: str,
+    catalog: GrammarCatalog,
+    head_pos: str | None = None,
+    subst_attr: str = "lemma",
+    colloc_attr: str = "lemma",
+    limit_per_relation: int = 10,
+    min_logdice: float = 0.0,
+    round_dp: int | None = None,
+    relation_types: tuple[str, ...] = ("SURFACE",),
+):
+    """The full sketch fan-out as a DISTRIBUTED plan over the index's
+    OWN artifacts — no corpus scan, no driver-resident postings:
+
+    - token table = ``posexplode`` of the ``forward_layers`` store
+      (``IndexSearcher.forward_token_table`` — doc-partitioned parquet,
+      shards with the corpus);
+    - collocate stats = the ``layer_stats`` dictionary
+      (:func:`layer_stats_df`);
+    - pattern execution/scoring = the ordinary CQL positional-join
+      fan-out (``plans.relations.word_sketch_patterns``).
+
+    Returns the same DataFrame shape as ``word_sketch_patterns``; a
+    pytest pins row identity with :func:`index_word_sketch` (the
+    in-driver span-chain path). This is the 100×-corpus serving shape:
+    peak driver memory is O(collocate rows) — the span-chain path keeps
+    sub-second warm latency on a pinned hot set, this path keeps the
+    cold/huge-head case executor-side (the scale split the reference
+    never needs at one node, ``BlackLabQueryExecutor.java:117-144``).
+    """
+    from ..plans.relations import word_sketch_patterns
+
+    tokens = searcher.forward_token_table()
+    if tokens is None or "lemma" not in tokens.columns:
+        raise NotImplementedError(
+            "index has no forward_layers store — build with "
+            "index.build.build_conllu_index(store_docstore=True)")
+    stats = layer_stats_df(searcher, DEFAULT_LAYERS[colloc_attr])
+    return word_sketch_patterns(
+        tokens, stats, head, catalog, head_pos=head_pos,
+        subst_attr=subst_attr, colloc_attr=colloc_attr,
+        limit_per_relation=limit_per_relation, min_logdice=min_logdice,
+        round_dp=round_dp, relation_types=relation_types)
+
+
+def index_relation_collocates(
+    searcher,
+    query,
+    colloc_attr: str = "lemma",
+    min_logdice: float = 0.0,
+    limit: int = 20,
+    round_dp: int | None = None,
+    max_terms_per_slot: int = 256,
+) -> list[tuple[str, int, float]]:
+    """BCQL relation query → ranked dependent collocates, fully
+    index-side: ``[(dep_term, pair_freq, logdice)]`` — the serving twin
+    of ``operators.dependency.relation_query_collocates`` (identical
+    counting unit: one governor→dependent match = one pair), the
+    reference's ``queryAndRankDepCollocates``
+    (``BlackLabQueryExecutor.java:231-244``)."""
+    from ..plans.cql import parse_relation_query
+
+    rq = parse_relation_query(query) if isinstance(query, str) else query
+    if rq is None:
+        raise ValueError(f"not a relation query: {query!r}")
+    head = next((t.value.replace("\\", "") for t in rq.source.tests
+                 if t.attr in ("lemma", "word", "term") and not t.negated
+                 and t.is_literal), None)
+    if head is None:
+        raise ValueError("relation-query collocates need a literal "
+                         "lemma/word test on the source operand")
+    matches = searcher.relation_matches(rq, max_terms_per_slot)
+    if not matches:
+        return []
+    layer = DEFAULT_LAYERS[colloc_attr]
+    fw = searcher.forward_layer(sorted({d for d, _, _ in matches}), layer)
+    counts: Counter[str] = Counter()
+    for d, _gp, dp in matches:
+        arr = fw.get(d)
+        if arr is not None and 0 <= dp < len(arr):
+            counts[arr[dp]] += 1
+    if not counts:
+        return []
+    cf = searcher.layer_cf(layer, sorted(counts) + [head])
+    head_cf = cf.get(head, 0)
+    if head_cf == 0:
+        return []
+    scored = []
+    for value, fab in counts.items():
+        fb = cf.get(value)
+        if fb is None:
+            continue
+        ld = _round(_logdice(fab, head_cf, fb), round_dp)
+        if ld < min_logdice:
+            continue
+        scored.append((value, fab, ld))
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    return scored[:limit]
+
+
 def index_word_sketch(
     searcher,
     head: str,

@@ -181,10 +181,29 @@ def layer_tokens(parsed: DataFrame, sent_len: int | None = None) -> DataFrame:
     arithmetically; otherwise a per-document window numbers tokens —
     partitioned by doc_id, so at 100 TB it is a per-doc sort, never a
     global shuffle to one partition.
+
+    The arithmetic path is GUARDED at runtime: a real sentence longer
+    than ``sent_len`` would silently collide with the next sentence's
+    positions (corrupt adjacency joins) — ``assert_true`` fails the job
+    instead, naming the windowed path as the fix. Zero extra actions:
+    the check rides the rows already being computed.
+
+    Besides the annotation layers the output carries ``sent_no``
+    (per-doc sentence ordinal) — the structural column sentence-bounded
+    span matching keys on (the reference indexes ``<s>`` spans,
+    ``conllu-sentences.blf.yaml:16``) — and ``token_id``/``head``
+    (1-based intra-sentence ids) for dependency-relation queries.
     """
     if sent_len is not None:
-        pos = (F.col("sent_id") * sent_len + F.col("token_id") - 1) \
-            .cast("long")
+        guard = F.assert_true(
+            F.col("token_id") <= F.lit(sent_len),
+            F.lit(f"layer_tokens(sent_len={sent_len}): sentence longer "
+                  f"than sent_len would collide positions — use the "
+                  f"windowed path (sent_len=None)"))
+        pos = F.when(
+            guard.isNull(),
+            (F.col("sent_id") * sent_len + F.col("token_id") - 1)
+        ).cast("long")
     else:
         from pyspark.sql import Window
 
@@ -192,6 +211,8 @@ def layer_tokens(parsed: DataFrame, sent_len: int | None = None) -> DataFrame:
         pos = (F.row_number().over(w) - 1).cast("long")
     return parsed.select(
         "doc_id", pos.alias("pos"),
+        F.col("sent_id").cast("int").alias("sent_no"),
+        "token_id", "head",
         F.lower(F.col("word")).alias("term"),
         F.lower(F.col("lemma")).alias("lemma"),
         # case-PRESERVED variants: the reference indexes word/lemma as
