@@ -561,6 +561,65 @@ def q_cql_collocates(spark: SparkSession, sf_dir: str) -> DataFrame:
                               head="spark", limit=20, round_dp=4)
 
 
+def q_cql_deprel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V9 BCQL dependency-relation OPERATOR (``[lemma="scan"] -nsubj->
+    _`` — ``BlackLabQueryExecutor.java:211-229``): parsed by
+    ``plans.cql.parse_relation_query``, executed as the sentence-co-
+    keyed governor→dependent join over the parsed CoNLL-U layers,
+    logDice-ranked — the arbitrary-query surface for dependency
+    relations (the catalog/dependency_sketch API is the other route to
+    the same machinery)."""
+    from word_sketch_lucene_spark.operators.dependency import (
+        relation_query_collocates,
+    )
+
+    parsed = _parsed_conllu(spark, sf_dir)
+    lemma_stats = parsed.groupBy(F.lower("lemma").alias("term")) \
+        .agg(F.count("*").alias("cf"))
+    return relation_query_collocates(
+        parsed, lemma_stats, '[lemma="scan"] -nsubj-> _',
+        limit=20, round_dp=4)
+
+
+_CONLLU_IDX_CACHE: dict[str, object] = {}
+
+
+def _contract_conllu_index_root(spark: SparkSession, sf_dir: str):
+    """Per-sf cached FULL CoNLL-U index (layer postings + forward
+    layers); stage manifests make re-builds no-ops."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from word_sketch_lucene_spark.index.build import build_conllu_index
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    root = Path(tempfile.gettempdir()) / f"wsl_contract_cidx_{tag}"
+    key = str(root)
+    if key not in _CONLLU_IDX_CACHE:
+        build_conllu_index(spark, _parsed_conllu(spark, sf_dir), root,
+                           input_paths=[f"{sf_dir}/documents.parquet"])
+        _CONLLU_IDX_CACHE[key] = True
+    return root
+
+
+def q_word_sketch_index_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 word sketch served from the INDEX as a DISTRIBUTED plan
+    (forward_layers posexplode + layer_stats dictionary — no corpus
+    scan, no driver-resident postings): the 100×-corpus serving route,
+    oracle-checked against the same first-principles SQL as the
+    DataFrame fan-out."""
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+    from word_sketch_lucene_spark.query.sketch import (
+        index_word_sketch_distributed,
+    )
+
+    s = IndexSearcher(spark, _contract_conllu_index_root(spark, sf_dir))
+    return index_word_sketch_distributed(
+        s, SKETCH_HEAD, _en_catalog(), head_pos="NOUN",
+        limit_per_relation=10, round_dp=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -603,6 +662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dep_sketch_catalog": q_dep_sketch_catalog,
         "word_sketch_conllu": q_word_sketch_conllu,
         "word_sketch_dep_conllu": q_word_sketch_dep_conllu,
+        "word_sketch_index_dist": q_word_sketch_index_dist,
+        "cql_deprel": q_cql_deprel,
         "multiseed_common": q_multiseed_common,
         "profile_stats": q_profile_stats,
         "core_collocates": q_core_collocates,
@@ -653,6 +714,9 @@ def oracle_sql() -> dict[str, str]:
         "word_sketch_dep_conllu": osql.sql_word_sketch_conllu(
             "scan", _en_catalog(), head_pos="VERB", k_per_relation=10,
             relation_types=("DEP",)),
+        "word_sketch_index_dist": osql.sql_word_sketch_conllu(
+            SKETCH_HEAD, _en_catalog(), head_pos="NOUN", k_per_relation=10),
+        "cql_deprel": osql.sql_dep_sketch_conllu("scan", "nsubj"),
         "multiseed_common": osql.sql_multiseed_common(SEEDS, 1, 2, 50, 2),
         "profile_stats": osql.sql_profile_stats(SEEDS, 1, 2, 50),
         "core_collocates": osql.sql_core_collocates(SEEDS, 1, 2, 50,

@@ -304,17 +304,24 @@ class IndexSearcher:
         missing = [d for d in doc_ids if d not in cache]
         if missing:
             fwp = self.root / "forward_layers"
-            if not fwp.exists():
+            if fwp.exists():
+                fw = self.spark.read.parquet(str(fwp))
+                col = layer
+                if col not in fw.columns:
+                    raise ValueError(f"forward layer {layer!r} not stored "
+                                     f"(available: {sorted(fw.columns)})")
+            elif layer == "term" and (self.root / "docstore").exists():
+                # term-only index: the docstore's position-ordered token
+                # array IS the term forward index
+                fw = self.spark.read.parquet(str(self.root / "docstore"))
+                col = "tokens"
+            else:
                 raise NotImplementedError(
                     "index has no forward_layers store — build with "
                     "index.build.build_conllu_index(store_docstore=True)")
-            fw = self.spark.read.parquet(str(fwp))
-            if layer not in fw.columns:
-                raise ValueError(f"forward layer {layer!r} not stored "
-                                 f"(available: {sorted(fw.columns)})")
             rows = fw.filter(F.col("doc_id").isin(missing)) \
-                .select("doc_id", layer).collect()
-            found = {int(r["doc_id"]): list(r[layer]) for r in rows}
+                .select("doc_id", col).collect()
+            found = {int(r["doc_id"]): list(r[col]) for r in rows}
             for d in missing:
                 cache[d] = found.get(d, [])
         return {d: cache[d] for d in doc_ids}
