@@ -420,12 +420,16 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN, ORACLE-CHECKED end to end: the deterministic
+    plane matrix, sign-bit buckets, multiprobe set, and rounded-cosine
+    ranking are all recomputed SQL-side — the oracle reproduces the
+    APPROXIMATE result, misses included."""
     from word_sketch_lucene_spark.operators.similarity import lsh_cosine_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_cosine_topk(emb, queries, k=10, n_planes=6)
+    return lsh_cosine_topk(emb, queries, k=10, n_planes=6, round_dp=4)
 
 
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -748,7 +752,8 @@ def oracle_sql() -> dict[str, str]:
             max_shingle_df=100),
         "simhash_near_dups": osql.sql_simhash_near_dups(
             max_hamming=6, shingle_n=2),
-        # lsh_cosine_topk/media: engine-specific hyperplane LSH & binary
-        # payloads — rows-only checks by design (driver records the
-        # weaker check; python oracles cover them in tests/)
+        "lsh_cosine_topk": osql.sql_lsh_cosine_topk(
+            [0, 1, 2], k=10, n_planes=6, seed=5),
+        # media_meta: synthetic binary payloads parsed by an Arrow
+        # kernel — rows-only by design (python oracle in tests/)
     }

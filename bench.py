@@ -182,7 +182,7 @@ def bench_index_sketch(spark) -> dict:
             t0 = time.perf_counter()
             spans = s.pattern_hits_auto(hot)
             walls.append(time.perf_counter() - t0)
-        dense = {"pattern": hot, "sigma_df": cost,
+        dense = {"pattern": hot, "sigma_cf": cost,
                  "routed_distributed": bool(cost > 500_000 or capped),
                  "sec": round(min(walls), 3), "spans": len(spans)}
         return {"build_sec": round(min(builds), 3),

@@ -54,7 +54,11 @@ def _sentence(rng: random.Random) -> list[str]:
             head, rel = 0, "root"
         else:
             head, rel = max(i - 1, 0), "dep"
-        lines.append(f"{i}\t{w}\t{_lemma(w)}\t{upos}\t{xpos}\t_\t{head}\t{rel}")
+        feats = {"NNS": "Number=Plur", "NN": "Number=Sing"}.get(xpos, "_")
+        line = f"{i}\t{w}\t{_lemma(w)}\t{upos}\t{xpos}\t{feats}\t{head}\t{rel}"
+        if feats == "Number=Plur":  # 10-column row: DEPS placeholder + MISC
+            line += "\t_\tSpaceAfter=No"
+        lines.append(line)
     return lines
 
 
@@ -124,6 +128,24 @@ def test_ingest_end_to_end_windowed(spark, real_corpus_index):
     n_tokens = lt.count()
     assert n_tokens == stats["total_tokens"]
     assert lt.filter(F.col("term").isin("del", "null")).count() == 0
+
+    # FEATS layer (CoNLL-U col 6) is parsed, indexed as a searchable
+    # annotation (reference conllu-sentences.blf.yaml:33), and served
+    # index-side identically to the DataFrame compiler
+    from word_sketch_lucene_spark.plans.cql import compile_cql
+
+    assert set(s.expand_layer_terms("feats", ".*")) == \
+        {"Number=Plur", "Number=Sing"}
+    feat_pat = '[feats="Number=Plur"] []{0,2} [xpos="VB.*"]'
+    idx_spans = set(s.pattern_hits(feat_pat))
+    name2id = {r["doc_name"]: r["doc_id"] for r in
+               lt.sparkSession.read.parquet(str(root / "doc_names"))
+               .collect()}
+    df_spans = {(name2id[r["doc_id"]], r["start"], r["end"]) for r in
+                compile_cql(lt, feat_pat).collect()}
+    assert idx_spans == df_spans and idx_spans
+    # MISC (col 10) survives the parse too
+    assert parsed.filter(F.col("misc") == "SpaceAfter=No").count() > 0
 
 
 def test_ingest_relation_query_real_corpus(spark, real_corpus_index):

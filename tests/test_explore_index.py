@@ -24,7 +24,12 @@ def explore_ctx(spark, docs_small, index_small):
 
     toks = explode_tokens(docs_small).cache()
     stats = term_stats(toks).cache()
-    return IndexSearcher(spark, index_small), toks, stats
+    yield IndexSearcher(spark, index_small), toks, stats
+    # unpersist: a lingering cached term_stats plan would be picked up
+    # by OTHER tests' identical plans (InMemoryRelation swallows their
+    # plan-shape assertions — the plan-string gotcha)
+    stats.unpersist()
+    toks.unpersist()
 
 
 def test_index_collocates_match_dataframe(explore_ctx):

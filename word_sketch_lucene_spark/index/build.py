@@ -83,9 +83,10 @@ class IndexPaths:
 
 
 # annotation layers indexable beside the surface term layer — the
-# reference indexes word/lemma/upos/xpos/deprel as parallel searchable
-# Lucene fields (conllu-sentences.blf.yaml:18-74)
-DEFAULT_EXTRA_LAYERS = ("lemma", "upos", "xpos", "deprel")
+# reference indexes word/lemma/upos/xpos/deprel/feats as parallel
+# searchable Lucene fields (conllu-sentences.blf.yaml:18-74); "feats"
+# participates when the input carries the column (CoNLL-U col 6)
+DEFAULT_EXTRA_LAYERS = ("lemma", "upos", "xpos", "deprel", "feats")
 
 
 def build_layer_postings(
@@ -117,6 +118,9 @@ def build_layer_postings(
     paths = IndexPaths(out_dir)
     paths.root.mkdir(parents=True, exist_ok=True)
     nparts = n_partitions or spark.sparkContext.defaultParallelism
+    if layers == DEFAULT_EXTRA_LAYERS:
+        # optional layers (feats) participate only when stored
+        layers = tuple(c for c in layers if c in layer_tokens.columns)
     config = {"doc_salt": doc_salt, "n_partitions": nparts,
               "block_size": block_size, "layers": list(layers)}
     cfg_fp = config_fingerprint(config)
@@ -136,7 +140,9 @@ def build_layer_postings(
                 "doc_id", "pos", "dl",
                 F.expr(f"stack({len(layers)}, {stack_args}) "
                        "AS (layer, value)"))
-            .filter(F.col("value").isNotNull())
+            # "_" is CoNLL-U's explicit EMPTY value (no annotation) —
+            # indexing it would create one corpus-sized hot posting
+            .filter(F.col("value").isNotNull() & (F.col("value") != "_"))
             .select(F.concat_ws(":", "layer", "value").alias("term"),
                     "doc_id", "pos", "dl")
         )
@@ -238,8 +244,9 @@ def build_conllu_index(
             # conllu-sentences.blf.yaml:16) and dependency-relation
             # queries ("X" -deprel-> _) read them per candidate doc
             fw_cols = [c for c in ("term", "lemma", "upos", "xpos",
-                                   "deprel", "word_cs", "lemma_cs",
-                                   "sent_no", "token_id", "head")
+                                   "deprel", "feats", "word_cs",
+                                   "lemma_cs", "sent_no", "token_id",
+                                   "head")
                        if c in lt.columns]
             (
                 lt.groupBy("doc_id").agg(*[_arr(c) for c in fw_cols])

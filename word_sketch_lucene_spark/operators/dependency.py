@@ -181,7 +181,7 @@ def _parsed_layer_col(attr: str) -> Column:
         "word_cs": F.col("word"), "lemma_cs": F.col("lemma"),
         "upos": F.col("upos"), "pos": F.col("upos"),
         "xpos": F.col("xpos"), "tag": F.col("xpos"),
-        "deprel": F.col("deprel"),
+        "deprel": F.col("deprel"), "feats": F.col("feats"),
     }
     if attr not in exprs:
         raise ValueError(f"relation-query attribute {attr!r} not in the "

@@ -109,11 +109,15 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     multiprobe: bool = True,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: search only the query's LSH bucket (plus the
     1-bit-flip neighbor buckets when ``multiprobe``).
 
     Same output shape as :func:`cosine_topk`; recall measured in tests.
+    ``round_dp`` rounds the cosine BEFORE ranking (the cross-engine
+    ordering contract — planes, buckets, and probes are deterministic,
+    so the whole approximate result is oracle-checkable).
     """
     dim = len(embeddings.select(vec_col).first()[0])
     planes = _planes(dim, n_planes, seed)
@@ -142,6 +146,8 @@ def lsh_cosine_topk(
         _dot_expr(F.col("cvec"), F.col("qvec"))
         / (F.col("cnorm") * F.col("qnorm")),
     )
+    if round_dp is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_dp))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.select("query_id", "vec_id", "cosine").distinct()

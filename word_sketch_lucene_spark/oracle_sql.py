@@ -934,6 +934,57 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
 """.strip()
 
 
+def sql_lsh_cosine_topk(query_ids: list[int], k: int = 10,
+                        n_planes: int = 6, seed: int = 5,
+                        dim: int = 64, multiprobe: bool = True) -> str:
+    """Hyperplane-LSH approximate top-k from first principles: the
+    deterministic splitmix64-Gaussian plane matrix is embedded as
+    literals (``operators.similarity._planes``), bucket ids are sign-bit
+    sums, multiprobe = the query bucket plus its 1-bit-flip neighbors,
+    and ranking uses the 4-dp-rounded cosine — the ENTIRE approximate
+    result (including which neighbors the probe misses) is reproduced,
+    not just the exact tier."""
+    from .operators.similarity import _planes
+
+    planes = _planes(dim, n_planes, seed)
+    ids = ", ".join(str(i) for i in query_ids)
+
+    def bucket(vec: str) -> str:
+        cases = []
+        for i, row in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(v)) for v in row) + "]::DOUBLE[]"
+            cases.append(f"(CASE WHEN list_dot_product({vec}, {lit}) >= 0 "
+                         f"THEN {1 << i} ELSE 0 END)")
+        return "(" + " + ".join(cases) + ")::BIGINT"
+
+    probe_masks = [0] + ([1 << i for i in range(n_planes)]
+                         if multiprobe else [])
+    masks = ", ".join(f"({m})" for m in probe_masks)
+    return f"""
+WITH cb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec,
+         {bucket("CAST(embedding AS DOUBLE[])")} AS bucket
+  FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec,
+         {bucket("CAST(embedding AS DOUBLE[])")} AS qbucket
+  FROM embeddings WHERE vec_id IN ({ids})),
+probes AS (
+  SELECT query_id, qvec, xor(qbucket, m.x) AS bucket
+  FROM q, (VALUES {masks}) AS m(x)),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id,
+         round(list_cosine_similarity(c.cvec, p.qvec), 4) AS cosine
+  FROM cb c JOIN probes p ON c.bucket = p.bucket),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM cand)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+""".strip()
+
+
 def sql_cosine_near_dups(threshold: float) -> str:
     """Exact near-dup pairs oracle (brute pairs, rounded cosine)."""
     return f"""

@@ -284,7 +284,7 @@ def _steps(items: list[TokenItem | GapItem]) -> list[_Step]:
 
 DEFAULT_LAYERS = {"word": "term", "term": "term", "lemma": "lemma",
                   "upos": "upos", "xpos": "xpos", "deprel": "deprel",
-                  "pos": "upos", "tag": "xpos",
+                  "pos": "upos", "tag": "xpos", "feats": "feats",
                   # case-SENSITIVE variants (reference indexes
                   # sensitive_insensitive for word/lemma,
                   # conllu-sentences.blf.yaml:24,29)

@@ -756,10 +756,14 @@ class IndexSearcher:
 
     def pattern_cost(self, pattern: str, max_terms_per_slot: int = 256
                      ) -> tuple[int, bool]:
-        """(Σdf over every test's dictionary expansion, hit-the-cap
+        """(Σcf over every test's dictionary expansion, hit-the-cap
         flag) — the postings-volume estimate that decides whether the
-        in-process span chain is the right tool. Dictionary-only scans
-        (term_stats / layer_stats aggregates), never postings."""
+        in-process span chain is the right tool. The chain decodes
+        POSITION lists, whose size is the collection frequency — a
+        class-wide layer slot (``[xpos="NN.*"]``) has cf ≈ dl·df, so a
+        df-based estimate under-counts it ~100× and keeps corpus-sized
+        pulls in the driver. Dictionary-only scans (term_stats /
+        layer_stats aggregates), never postings."""
         from ..plans.cql import DEFAULT_LAYERS, _steps, effective_test, parse_cql
 
         total, capped = 0, False
@@ -771,19 +775,19 @@ class IndexSearcher:
                     continue
                 if layer == "term":
                     src = self.term_stats.select(
-                        F.col("term").alias("value"), "df")
+                        F.col("term").alias("value"), "cf")
                 else:
                     self._require_layers()
                     src = self.layer_stats.filter(
-                        F.col("layer") == layer).select("value", "df")
+                        F.col("layer") == layer).select("value", "cf")
                 if t.is_literal:
                     flt = F.col("value") == t.value.replace("\\", "")
                 else:
                     flt = F.col("value").rlike(f"^(?:{t.value})$")
                 row = src.filter(flt).agg(
                     F.count("*").alias("n"),
-                    F.sum("df").alias("sdf")).collect()[0]
-                total += int(row["sdf"] or 0)
+                    F.sum("cf").alias("scf")).collect()[0]
+                total += int(row["scf"] or 0)
                 capped = capped or int(row["n"]) > max_terms_per_slot
         return total, capped
 
@@ -793,7 +797,7 @@ class IndexSearcher:
                           ) -> list[tuple[int, int, int]]:
         """:meth:`pattern_hits` with the hot-pattern guard: a
         vocabulary-wide slot (e.g. ``[word="[a-z0-9]+"]``) would pull a
-        vocabulary-scale postings union driver-side, so when the Σdf
+        vocabulary-scale postings union driver-side, so when the Σcf
         estimate exceeds ``df_budget`` (or an expansion hit the term
         cap, which would silently truncate matches) the pattern runs as
         a distributed DataFrame plan over the forward token table

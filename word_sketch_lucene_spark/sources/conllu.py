@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 CONLLU_SCHEMA = ("doc_id string, sent_id long, token_id int, word string, "
                  "lemma string, upos string, xpos string, head int, "
-                 "deprel string")
+                 "deprel string, feats string, misc string")
 
 
 def parse_conllu_text(doc_id: str, text: str, sent_offset: int = 0):
@@ -60,7 +60,8 @@ def parse_conllu_text(doc_id: str, text: str, sent_offset: int = 0):
             continue
         in_sentence = True
         rows.append((doc_id, sent_id, token_id, cols[1], cols[2],
-                     cols[3], cols[4], head, cols[7]))
+                     cols[3], cols[4], head, cols[7],
+                     cols[5], cols[9] if len(cols) > 9 else "_"))
     return rows
 
 
@@ -75,7 +76,7 @@ def read_conllu(spark: SparkSession, path: str) -> DataFrame:
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["doc_id", "sent_id", "token_id", "word", "lemma",
-                "upos", "xpos", "head", "deprel"]
+                "upos", "xpos", "head", "deprel", "feats", "misc"]
         for pdf in batches:
             out = []
             for file, value in zip(pdf["file"], pdf["value"]):
@@ -92,7 +93,7 @@ def parse_conllu_docs(docs: DataFrame, id_col: str = "doc_id",
     annotated text lives in a table instead of files."""
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["doc_id", "sent_id", "token_id", "word", "lemma",
-                "upos", "xpos", "head", "deprel"]
+                "upos", "xpos", "head", "deprel", "feats", "misc"]
         for pdf in batches:
             out = []
             for did, value in zip(pdf[id_col], pdf[text_col]):
@@ -108,14 +109,18 @@ def to_conllu_text(ann: DataFrame, id_col: str = "doc_id") -> DataFrame:
     blank line between sentences), built with pure Catalyst string ops.
 
     Input columns: ``doc_id, sent_id, token_id, word, lemma, upos,
-    head, deprel`` (+ optional ``xpos``, rendered into column 5 so
-    xpos-constrained SURFACE patterns survive the round trip).
+    head, deprel`` (+ optional ``xpos``/``feats``/``misc``, rendered
+    into their CoNLL-U columns so layer-constrained patterns survive
+    the round trip).
     """
     xpos = F.col("xpos") if "xpos" in ann.columns else F.lit("_")
-    line = F.concat_ws(
-        "\t",
-        F.col("token_id").cast("string"), "word", "lemma", "upos",
-        xpos, F.lit("_"), F.col("head").cast("string"), "deprel")
+    feats = F.col("feats") if "feats" in ann.columns else F.lit("_")
+    parts = [F.col("token_id").cast("string"), F.col("word"),
+             F.col("lemma"), F.col("upos"), xpos, feats,
+             F.col("head").cast("string"), F.col("deprel")]
+    if "misc" in ann.columns:
+        parts += [F.lit("_"), F.col("misc")]  # DEPS placeholder + MISC
+    line = F.concat_ws("\t", *parts)
     per_sent = (
         ann.withColumn("line", line)
         .groupBy(id_col, "sent_id")
@@ -209,7 +214,7 @@ def layer_tokens(parsed: DataFrame, sent_len: int | None = None) -> DataFrame:
 
         w = Window.partitionBy("doc_id").orderBy("sent_id", "token_id")
         pos = (F.row_number().over(w) - 1).cast("long")
-    return parsed.select(
+    sel = [
         "doc_id", pos.alias("pos"),
         F.col("sent_id").cast("int").alias("sent_no"),
         "token_id", "head",
@@ -220,7 +225,14 @@ def layer_tokens(parsed: DataFrame, sent_len: int | None = None) -> DataFrame:
         # CQL routes "(?-i)"-flagged tests here (plans.cql.effective_test)
         F.col("word").alias("word_cs"),
         F.col("lemma").alias("lemma_cs"),
-        "upos", "xpos", "deprel")
+        "upos", "xpos", "deprel",
+    ]
+    # morphological features (reference conllu-sentences.blf.yaml:33
+    # indexes feats as a searchable annotation); older parsed tables
+    # may predate the column
+    if "feats" in parsed.columns:
+        sel.append("feats")
+    return parsed.select(*sel)
 
 
 def conllu_boilerplate_filter(tokens: DataFrame, prefixes: tuple[str, ...],
