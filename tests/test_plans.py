@@ -111,6 +111,13 @@ def test_word_sketch_is_one_scan_per_side(spark, docs_small):
 def test_term_stats_has_mapside_partial_agg(spark, docs_small):
     """Head-term skew defense: partial (map-side) aggregation must
     collapse hot terms before the shuffle."""
+    from word_sketch_lucene_spark.caching import release_all
+
+    # another test's cached IDENTICAL plan would be substituted as an
+    # InMemoryRelation here, whose string repr re-prints its child's
+    # exchanges and breaks the counts — isolate first
+    release_all()
+    spark.catalog.clearCache()
     plan = _plan(term_stats(explode_tokens(docs_small)))
     assert "partial_count" in plan        # map-side combine present
     assert plan.count("Exchange") <= 2    # distinct-expand + final, no extra

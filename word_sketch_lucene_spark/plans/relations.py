@@ -265,32 +265,46 @@ def word_sketch_patterns(
     reference skips position validation for these — the loose-proximity
     reading of its "nearby nouns within a wider window").
     """
+    from pyspark.sql import Window
+
     from ..caching import persist_tracked
+    from ..functions.scoring import logdice_expr, rel_freq_expr
     from .cql import (
         TokenItem,
         _item_predicate,
         _resolve_col,
+        compile_cql,
         parse_cql,
-        pattern_collocates,
-        score_collocate_pairs,
+        substitute_at_position,
     )
 
     rels = [r for r in catalog.relations
             if r.pattern and r.type in relation_types]
     if head_pos is not None:
         rels = [r for r in rels if pattern_pos_group(r) == head_pos]
+    if not rels:
+        return tokens.sparkSession.createDataFrame(
+            [], "relation string, colloc_term string, pair_freq long, "
+                "logdice double, rel_freq double")
     if len(rels) > 1:
-        # every branch re-reads the token table and the stats lookup
+        # every branch re-reads the token table; the stats lookup joins
+        # ONCE below but the cache also feeds the head_cf probe
         tokens = persist_tracked(tokens)
         term_stats = persist_tracked(term_stats)
-    out = None
     cols = tokens.columns
+    # Phase 1: per-relation DISTINCT (doc, head-pos, colloc-pos) match
+    # pairs, unioned with the relation id. Scoring then runs ONCE for
+    # the whole fan-out — one stats join, one head_cf broadcast, one
+    # per-relation top-k window — instead of N stats joins + N limits
+    # (at 10⁸-row vocabularies the stats join is the expensive side;
+    # N relations must not multiply it).
+    pair_parts = []
     for rel in rels:
-        items = [it for it in parse_cql(rel.pattern)
-                 if isinstance(it, TokenItem)]
-        labels = {it.label for it in items if it.label}
+        items = parse_cql(rel.pattern)
+        token_items = [it for it in items if isinstance(it, TokenItem)]
+        labels = {it.label for it in token_items if it.label}
         if rel.dual and "2" not in labels:
-            citem = items[rel.head_position - 1]
+            citem = token_items[rel.head_position - 1]
             heads = tokens.filter(
                 _resolve_col(subst_attr, cols) == head
             ).select("doc_id", F.col("pos").alias("hp"))
@@ -304,24 +318,61 @@ def word_sketch_patterns(
                         .between(1, rel.default_slop))
                 .select("doc_id", "hp", "cp", "colloc_term").distinct()
             )
-            b = score_collocate_pairs(pairs, term_stats, head,
-                                      min_logdice=min_logdice,
-                                      limit=limit_per_relation,
-                                      round_dp=round_dp)
         else:
-            b = pattern_collocates(
-                tokens, term_stats, rel.pattern, head,
-                min_logdice=min_logdice, limit=limit_per_relation,
-                round_dp=round_dp, subst_attr=subst_attr,
-                colloc_attr=colloc_attr)
-        b = b.select(F.lit(rel.id).alias("relation"), "colloc_term",
-                     "pair_freq", "logdice", "rel_freq")
-        out = b if out is None else out.unionByName(b)
-    if out is None:
-        return tokens.sparkSession.createDataFrame(
-            [], "relation string, colloc_term string, pair_freq long, "
-                "logdice double, rel_freq double")
-    return out
+            pos_n = 0
+            for it in items:
+                if isinstance(it, TokenItem):
+                    pos_n += 1
+                    if it.label == "1":
+                        break
+            else:
+                raise ValueError(f"no 1: label in pattern of {rel.id}")
+            subst = substitute_at_position(items, head, pos_n,
+                                           attr=subst_attr)
+            capture = (colloc_attr,) if colloc_attr else ()
+            matches = compile_cql(tokens, subst, capture_attrs=capture)
+            colloc_col = (f"{colloc_attr}_2" if colloc_attr else "term_2")
+            pairs = matches.select(
+                "doc_id", F.col("pos_1").alias("hp"),
+                F.col("pos_2").alias("cp"),
+                F.col(colloc_col).alias("colloc_term")).distinct()
+        pair_parts.append(pairs.select(
+            F.lit(rel.id).alias("relation"), "colloc_term"))
+    all_pairs = pair_parts[0]
+    for p in pair_parts[1:]:
+        all_pairs = all_pairs.unionByName(p)
+    # Phase 2: the shared scoring tail (CollocateQueryHelper semantics:
+    # distinct-pair counts, logDice vs the head/collocate collection
+    # frequencies, min-score filter, per-relation top-k)
+    grouped = all_pairs.groupBy("relation", "colloc_term") \
+        .agg(F.count("*").alias("pair_freq"))
+    head_cf = term_stats.filter(F.col("term") == head).select(
+        F.col("cf").alias("head_cf"))
+    scored = (
+        grouped.join(term_stats.select(
+            F.col("term").alias("colloc_term"),
+            F.col("cf").alias("colloc_cf")), "colloc_term")
+        .crossJoin(F.broadcast(head_cf))
+        .withColumn("logdice", logdice_expr(
+            F.col("pair_freq").cast("double"),
+            F.col("head_cf").cast("double"),
+            F.col("colloc_cf").cast("double")))
+        .withColumn("rel_freq", rel_freq_expr(
+            F.col("pair_freq").cast("double"),
+            F.col("head_cf").cast("double")))
+        .filter(F.col("logdice") >= F.lit(min_logdice))
+    )
+    if round_dp is not None:
+        scored = scored.withColumn("logdice", F.round("logdice", round_dp)) \
+                       .withColumn("rel_freq", F.round("rel_freq", round_dp))
+    w = Window.partitionBy("relation").orderBy(
+        F.desc("logdice"), F.asc("colloc_term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= limit_per_relation)
+        .select("relation", "colloc_term", "pair_freq", "logdice",
+                "rel_freq")
+    )
 
 
 @dataclass
