@@ -165,9 +165,14 @@ def test_layered_pattern_auto_fallback_identical(spark, conllu_index):
     assert direct
     fallback = set(s.pattern_hits_auto(pat, df_budget=1))  # force
     assert fallback == direct
-    # the xpos slot really is hot: Σdf estimate exceeds any real budget
+    # the xpos slot really is hot: Σcf estimate exceeds any real budget
     cost, _ = s.pattern_cost(pat)
     assert cost > 1
+    # sentence bounding holds through the distributed fallback too
+    bounded_direct = set(s.pattern_hits(pat, within_sentence=True))
+    bounded_fb = set(s.pattern_hits_auto(pat, df_budget=1,
+                                         within_sentence=True))
+    assert bounded_fb == bounded_direct < direct
 
 
 def test_forward_token_table_shape(spark, conllu_index):

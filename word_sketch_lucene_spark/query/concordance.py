@@ -50,14 +50,18 @@ def index_pattern_concordance(
     offset: int = 0,
     page_size: int = 20,
     context: int = 5,
+    within_sentence: bool = False,
 ) -> DataFrame:
     """INDEX-side BCQL → KWIC page, end to end off the index artifacts:
     spans from :meth:`IndexSearcher.pattern_hits_auto` (budgeted — hot
     patterns run distributed), keyword width from each span's extent,
     context from the index's own docstore (forward index). The
     ``POST /api/bcql`` trace (SURVEY §3.3) without touching the corpus.
+    ``within_sentence=True`` excludes matches whose gap crosses a
+    sentence boundary (the reference's ``<s>``-span semantics).
     """
-    spans = searcher.pattern_hits_auto(pattern)
+    spans = searcher.pattern_hits_auto(pattern,
+                                       within_sentence=within_sentence)
     spark = searcher.spark
     hits = spark.createDataFrame(
         [(int(d), int(s), int(e - s + 1)) for d, s, e in spans],

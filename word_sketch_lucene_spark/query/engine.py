@@ -793,7 +793,8 @@ class IndexSearcher:
 
     def pattern_hits_auto(self, pattern: str,
                           max_terms_per_slot: int = 256,
-                          df_budget: int = 500_000
+                          df_budget: int = 500_000,
+                          within_sentence: bool = False
                           ) -> list[tuple[int, int, int]]:
         """:meth:`pattern_hits` with the hot-pattern guard: a
         vocabulary-wide slot (e.g. ``[word="[a-z0-9]+"]``) would pull a
@@ -809,7 +810,8 @@ class IndexSearcher:
         reference's max term expansion)."""
         cost, capped = self.pattern_cost(pattern, max_terms_per_slot)
         if cost <= df_budget and not capped:
-            return self.pattern_hits(pattern, max_terms_per_slot)
+            return self.pattern_hits(pattern, max_terms_per_slot,
+                                     within_sentence=within_sentence)
         from ..plans.cql import (
             DEFAULT_LAYERS,
             _steps,
@@ -824,11 +826,16 @@ class IndexSearcher:
                      for st in _steps(parse_cql(pattern))
                      for t in st.item.tests}
             cols = set(tokens.columns)
-            if not all(DEFAULT_LAYERS.get(a, a) in cols for a in attrs):
+            need = {DEFAULT_LAYERS.get(a, a) for a in attrs}
+            if within_sentence:
+                need.add("sent_no")
+            if not need <= cols:
                 tokens = None
         if tokens is None:
-            return self.pattern_hits(pattern, max_terms_per_slot)
-        rows = (compile_cql(tokens, pattern, keep_terms=False)
+            return self.pattern_hits(pattern, max_terms_per_slot,
+                                     within_sentence=within_sentence)
+        rows = (compile_cql(tokens, pattern, keep_terms=False,
+                            within_sentence=within_sentence)
                 .select("doc_id", "start", "end")
                 .orderBy("doc_id", "start", "end").collect())
         return [(int(r["doc_id"]), int(r["start"]), int(r["end"]))
