@@ -23,14 +23,20 @@ def main() -> None:
     ap.add_argument("--phrase", help="exact-sequence phrase query")
     ap.add_argument("--cql", help="mini-BCQL pattern, e.g. "
                     "'[word=\"sp.*\"] []{0,2} [word=\"join\"]'")
+    ap.add_argument("--relation", help="dependency-relation query, e.g. "
+                    "'[lemma=\"theory\"] -nsubj-> _' (ranked dependents)")
     ap.add_argument("--regex", help="regex term query (dictionary expansion)")
+    ap.add_argument("--within-sentence", action="store_true",
+                    help="CQL matches may not cross sentence boundaries")
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--mode", default="auto",
                     choices=["auto", "bmw", "wand", "vec", "daat"])
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
-    if not (args.query or args.phrase or args.cql or args.regex):
-        ap.error("one of --query / --phrase / --cql / --regex required")
+    if not (args.query or args.phrase or args.cql or args.regex
+            or args.relation):
+        ap.error("one of --query / --phrase / --cql / --relation / "
+                 "--regex required")
 
     from word_sketch_lucene_spark.query.engine import IndexSearcher
     from word_sketch_lucene_spark.session import get_spark
@@ -50,14 +56,25 @@ def main() -> None:
                "hits": [{"doc_id": d, "positions": p} for d, p in matches[:args.k]],
                "total_docs": len(matches)}
     elif args.cql:
-        # auto: Σdf-budgeted — vocabulary-wide slots run as a
-        # distributed DataFrame plan over the forward index instead of
-        # a driver-side postings union
-        spans = s.pattern_hits_auto(args.cql)
+        # auto: Σcf-budgeted — hot slots run as a distributed
+        # DataFrame plan over the forward token table instead of a
+        # driver-side postings union
+        spans = s.pattern_hits_auto(args.cql,
+                                    within_sentence=args.within_sentence)
         out = {"cql": args.cql,
                "hits": [{"doc_id": d, "start": a, "end": b}
                         for d, a, b in spans[:args.k]],
                "total_spans": len(spans)}
+    elif args.relation:
+        from word_sketch_lucene_spark.query.sketch import (
+            index_relation_collocates,
+        )
+
+        rows = index_relation_collocates(s, args.relation, limit=args.k,
+                                         round_dp=4)
+        out = {"relation": args.relation,
+               "collocates": [{"dep_term": t, "pair_freq": f,
+                               "logdice": ld} for t, f, ld in rows]}
     else:
         hits, st = s.search_regex(args.regex, k=args.k, mode=args.mode)
         out = {"regex": args.regex,
