@@ -115,14 +115,23 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
     # n-gram via transform over index range; JVM-side, no UDF.
     # Guard: F.sequence(0, -1) would DESCEND, so short docs get [].
     if hashed == "md5le":
+        # hash AFTER the explode: the md5→reverse-hex→conv chain is a
+        # heavy expression, and inside a transform() lambda it runs
+        # INTERPRETED per array element (~8× wall on the shingle
+        # stage); as a flat post-explode projection it stays in
+        # whole-stage codegen
         grams = F.when(
             F.size(toks) >= n,
             F.transform(
                 F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: md5le64_expr(
-                    F.concat_ws(" ", F.slice(toks, i + 1, n))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
             ),
-        ).otherwise(F.array().cast("array<long>"))
+        ).otherwise(F.array().cast("array<string>"))
+        strings = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(grams)).alias("shingle_str"))
+        return strings.select(
+            "doc_id", md5le64_expr(F.col("shingle_str")).alias("shingle"))
     elif hashed:
         grams = F.when(
             F.size(toks) >= n,
