@@ -173,18 +173,25 @@ def bench_index_sketch(spark) -> dict:
                                       round_dp=4)
                 walls.append(time.perf_counter() - t0)
             warm[head] = {"ms": round(1000 * min(walls), 1), "rows": len(r)}
-        # hot layered pattern: Σdf ≈ corpus size → auto-routes to the
-        # distributed forward-layer plan (round-3 verdict item #1)
-        hot = '[xpos="NN.*"] []{0,1} [xpos="VB.*"]'
-        cost, capped = s.pattern_cost(hot)
-        walls = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            spans = s.pattern_hits_auto(hot)
-            walls.append(time.perf_counter() - t0)
-        dense = {"pattern": hot, "sigma_cf": cost,
-                 "routed_distributed": bool(cost > 500_000 or capped),
-                 "sec": round(min(walls), 3), "spans": len(spans)}
+        # hot patterns through the auto-router: the layered pair sits
+        # under the Σcf budget at this sf (in-process span chain); the
+        # full-bigram pattern exceeds it and runs as the DISTRIBUTED
+        # forward-layer plan (round-3 verdict item #1 — the 100×-corpus
+        # route, exercised and timed, not just unit-tested)
+        dense = {}
+        for hot in ('[xpos="NN.*"] []{0,1} [xpos="VB.*"]',
+                    '[word=".*"] [word=".*"]'):
+            cost, capped = s.pattern_cost(hot)
+            walls = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spans = s.pattern_hits_auto(hot)
+                walls.append(time.perf_counter() - t0)
+            dense[hot] = {"sigma_cf": cost,
+                          "routed_distributed": bool(cost > 500_000
+                                                     or capped),
+                          "sec": round(min(walls), 3),
+                          "spans": len(spans)}
         return {"build_sec": round(min(builds), 3),
                 "build_all_runs_sec": [round(b, 3) for b in builds],
                 "n_surface_relations": len([r for r in cat.surface()

@@ -234,6 +234,29 @@ def test_index_word_sketch_distributed_identical(spark, conllu_index):
     assert got_dep == want_dep and got_dep
 
 
+def test_position_cache_byte_budget_evicts_not_breaks(spark, conllu_index):
+    """The position caches are bounded in BYTES, not just entries: with
+    a tiny budget every older entry evicts, results stay identical, and
+    resident cache bytes stay ~one working entry (driver memory no
+    longer scales with how many distinct hot slots a session touched)."""
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    root, _, _ = conllu_index
+    ref = IndexSearcher(spark, root)
+    pat = '[xpos="NN.*"] [xpos="VB.*"]'
+    want = ref.pattern_hits(pat)
+
+    s = IndexSearcher(spark, root)
+    s.position_cache_budget_bytes = 1024  # force constant eviction
+    assert s.pattern_hits(pat) == want
+    assert s.pattern_hits(pat) == want  # repeat through cold caches
+    resident = sum(s._position_cache_bytes.values())
+    biggest = max(s._position_cache_bytes.values())
+    assert resident <= 1024 + biggest
+    # default-budget searcher keeps everything (same machine answer)
+    assert sum(ref._position_cache_bytes.values()) > resident
+
+
 # ------------------------------------------------- sent_len guard (#8)
 def test_layer_tokens_sent_len_guard(spark):
     """An 11-token sentence under sent_len=10 must FAIL the job (the

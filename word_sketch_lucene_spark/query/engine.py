@@ -124,8 +124,11 @@ class IndexSearcher:
         self._df_cache: dict[str, int] = {}
         self._dl_cache: dict[int, int] = {}
         # (layer, term) → {doc: positions} decoded positional postings —
-        # the hot working set an interactive serving node keeps pinned
-        # (bounded FIFO like _decoded_cache)
+        # the hot working set an interactive serving node keeps pinned.
+        # Bounded by BYTES as well as entry count: one class-wide layer
+        # entry (xpos:NN ≈ every noun position in the corpus) can weigh
+        # as much as hundreds of word entries, so an entry-count cap
+        # alone scales resident memory linearly with corpus size.
         self._positions_cache: dict[tuple[str, str], dict] = {}
         self.positions_cache_max = 512
         self._expand_cache: dict[tuple[str, str, int], list[str]] = {}
@@ -137,6 +140,11 @@ class IndexSearcher:
         # the dominant warm-serving cost
         self._test_map_cache: dict[tuple, dict] = {}
         self.test_map_cache_max = 64
+        # shared byte budget for the two position-map caches (the only
+        # corpus-proportional driver state); exceeding it evicts FIFO —
+        # a serving node's pinned-hot-set contract, not an OOM vector
+        self.position_cache_budget_bytes = 1 << 30
+        self._position_cache_bytes: dict[tuple, int] = {}
         # term → list[block-row dict] cache: the analog of the reference
         # preloading collocations.bin for O(1) lookups (CLAUDE.md:190-196).
         # One pruned parquet scan per *miss set*, pure numpy afterwards.
@@ -145,6 +153,32 @@ class IndexSearcher:
         # the hot-term working set a serving node would keep pinned.
         self._decoded_cache: dict[str, tuple] = {}
         self.decoded_cache_max = 256
+
+    def _budget_insert(self, cache: dict, tag: str, key, value,
+                       max_entries: int) -> None:
+        """Insert a doc→positions map into one of the two position
+        caches, charging its bytes against the SHARED budget and
+        evicting FIFO (across both caches) while over budget or over
+        the per-cache entry cap. The just-inserted entry is never
+        evicted — a single over-budget working map must still serve the
+        current query."""
+        nb = 64
+        for arr in value.values():
+            nb += int(getattr(arr, "nbytes", 8 * len(arr))) + 64
+        bk = (tag, key)
+        cache[key] = value
+        self._position_cache_bytes[bk] = nb
+        total = sum(self._position_cache_bytes.values())
+        while (len(cache) > max_entries
+               or total > self.position_cache_budget_bytes):
+            old = next(iter(self._position_cache_bytes))
+            if old == bk:
+                break
+            total -= self._position_cache_bytes.pop(old)
+            old_tag, old_key = old
+            tgt = (self._positions_cache if old_tag == "pos"
+                   else self._test_map_cache)
+            tgt.pop(old_key, None)
 
     # -- stats lookups ---------------------------------------------------
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
@@ -257,9 +291,8 @@ class IndexSearcher:
             pls = decode_positions(bytes(r["pos_vb"]), int(r["n"]))
             for d, pl in zip(docs, pls):
                 out[int(d)] = pl
-        if len(self._positions_cache) >= self.positions_cache_max:
-            self._positions_cache.pop(next(iter(self._positions_cache)))
-        self._positions_cache[ck] = out
+        self._budget_insert(self._positions_cache, "pos", ck, out,
+                            self.positions_cache_max)
         return out
 
     def _require_layers(self) -> None:
@@ -488,10 +521,9 @@ class IndexSearcher:
                                 merged[d] = np.union1d(merged[d], pl)
                             else:
                                 merged[d] = np.asarray(pl, dtype=np.int64)
-                    if len(self._test_map_cache) >= self.test_map_cache_max:
-                        self._test_map_cache.pop(
-                            next(iter(self._test_map_cache)))
-                    self._test_map_cache[ck] = merged
+                    self._budget_insert(self._test_map_cache, "test",
+                                        ck, merged,
+                                        self.test_map_cache_max)
                 (ban_maps if t.negated else pos_maps).append(merged)
             if pos_maps:
                 docs = set(pos_maps[0])
