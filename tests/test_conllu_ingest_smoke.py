@@ -148,6 +148,50 @@ def test_ingest_end_to_end_windowed(spark, real_corpus_index):
     assert parsed.filter(F.col("misc") == "SpaceAfter=No").count() > 0
 
 
+def test_sentence_bounded_sketch_identical_across_paths(spark,
+                                                        real_corpus_index):
+    """within_sentence=True threads through the whole sketch fan-out:
+    index span-chain == distributed plan == DataFrame plan, and the
+    bounded sketch differs from the flat one on this variable-sentence
+    corpus (some relation windows span a boundary)."""
+    from word_sketch_lucene_spark.plans.relations import (
+        EN_CATALOG,
+        GrammarCatalog,
+        word_sketch_patterns,
+    )
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+    from word_sketch_lucene_spark.query.sketch import (
+        index_word_sketch,
+        index_word_sketch_distributed,
+    )
+    from word_sketch_lucene_spark.sources.conllu import layer_tokens
+
+    root, parsed, _ = real_corpus_index
+    s = IndexSearcher(spark, root)
+    cat = GrammarCatalog.load(EN_CATALOG)
+    kw = dict(head_pos="NOUN", limit_per_relation=10, round_dp=4)
+    bounded = sorted(index_word_sketch(s, "table", cat,
+                                       within_sentence=True, **kw))
+    flat = sorted(index_word_sketch(s, "table", cat, **kw))
+    assert bounded != flat and bounded
+    lt = layer_tokens(parsed)
+    lemma_stats = lt.groupBy(F.col("lemma").alias("term")) \
+        .agg(F.count("*").alias("cf"))
+    df_bounded = sorted(
+        (r["relation"], r["colloc_term"], r["pair_freq"], r["logdice"],
+         r["rel_freq"])
+        for r in word_sketch_patterns(lt, lemma_stats, "table", cat,
+                                      within_sentence=True,
+                                      **kw).collect())
+    assert bounded == df_bounded
+    dist_bounded = sorted(
+        (r["relation"], r["colloc_term"], r["pair_freq"], r["logdice"],
+         r["rel_freq"])
+        for r in index_word_sketch_distributed(
+            s, "table", cat, within_sentence=True, **kw).collect())
+    assert bounded == dist_bounded
+
+
 def test_ingest_relation_query_real_corpus(spark, real_corpus_index):
     """`-nsubj->` relation query against the real-shaped corpus: both
     paths agree on governor→dependent collocates."""

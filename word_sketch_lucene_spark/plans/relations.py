@@ -246,6 +246,7 @@ def word_sketch_patterns(
     min_logdice: float = 0.0,
     round_dp: int | None = None,
     relation_types: tuple[str, ...] = ("SURFACE",),
+    within_sentence: bool = False,
 ) -> DataFrame:
     """Full word sketch over a PATTERN catalog (the ported 69-relation
     English grammar): for every applicable relation, substitute the head
@@ -305,19 +306,25 @@ def word_sketch_patterns(
         labels = {it.label for it in token_items if it.label}
         if rel.dual and "2" not in labels:
             citem = token_items[rel.head_position - 1]
+            hsel = ["doc_id", F.col("pos").alias("hp")]
+            csel = ["doc_id", F.col("pos").alias("cp")]
+            if within_sentence:
+                hsel.append(F.col("sent_no").alias("hs"))
+                csel.append(F.col("sent_no").alias("cs"))
             heads = tokens.filter(
-                _resolve_col(subst_attr, cols) == head
-            ).select("doc_id", F.col("pos").alias("hp"))
+                _resolve_col(subst_attr, cols) == head).select(*hsel)
             cterm = _resolve_col(colloc_attr or "word", cols)
             collocs = tokens.filter(_item_predicate(citem, cols)).select(
-                "doc_id", F.col("pos").alias("cp"),
-                cterm.alias("colloc_term"))
+                *csel, cterm.alias("colloc_term"))
             pairs = (
                 heads.join(collocs, "doc_id")
                 .filter(F.abs(F.col("cp") - F.col("hp"))
                         .between(1, rel.default_slop))
-                .select("doc_id", "hp", "cp", "colloc_term").distinct()
             )
+            if within_sentence:
+                pairs = pairs.filter(F.col("hs") == F.col("cs"))
+            pairs = pairs.select("doc_id", "hp", "cp",
+                                 "colloc_term").distinct()
         else:
             pos_n = 0
             for it in items:
@@ -330,7 +337,8 @@ def word_sketch_patterns(
             subst = substitute_at_position(items, head, pos_n,
                                            attr=subst_attr)
             capture = (colloc_attr,) if colloc_attr else ()
-            matches = compile_cql(tokens, subst, capture_attrs=capture)
+            matches = compile_cql(tokens, subst, capture_attrs=capture,
+                                  within_sentence=within_sentence)
             colloc_col = (f"{colloc_attr}_2" if colloc_attr else "term_2")
             pairs = matches.select(
                 "doc_id", F.col("pos_1").alias("hp"),

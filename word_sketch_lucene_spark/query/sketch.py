@@ -51,12 +51,14 @@ def relation_collocates(
     limit: int = 20,
     round_dp: int | None = None,
     max_terms_per_slot: int = 256,
+    within_sentence: bool = False,
 ) -> list[tuple[str, int, float, float]]:
     """One relation's ranked collocates, fully index-side:
     ``[(colloc_term, pair_freq, logdice, rel_freq)]``.
 
     Counting unit = distinct (doc, head-pos, colloc-pos) — identical to
-    ``plans.cql.pattern_collocates``.
+    ``plans.cql.pattern_collocates``. ``within_sentence`` constrains
+    matches (and dual slop windows) to one sentence.
     """
     items = parse_cql(rel.pattern)
     token_items = [it for it in items if isinstance(it, TokenItem)]
@@ -64,12 +66,14 @@ def relation_collocates(
     layer = DEFAULT_LAYERS[subst_attr]
     if rel.dual and "2" not in labels:
         pairs = _dual_window_pairs(searcher, head, rel, layer,
-                                   max_terms_per_slot)
+                                   max_terms_per_slot,
+                                   within_sentence=within_sentence)
     else:
         hi, ci = rel.head_position - 1, rel.colloc_position - 1
         subst = substitute_at_position(items, head, rel.head_position,
                                        attr=subst_attr)
-        matches = searcher.pattern_matches(subst, max_terms_per_slot)
+        matches = searcher.pattern_matches(subst, max_terms_per_slot,
+                                           within_sentence=within_sentence)
         pairs = {(d, row[hi], row[ci]) for d, row in matches}
     if not pairs:
         return []
@@ -102,7 +106,8 @@ def relation_collocates(
 
 
 def _dual_window_pairs(searcher, head: str, rel: RelationConfig,
-                       head_layer: str, max_terms_per_slot: int) -> set:
+                       head_layer: str, max_terms_per_slot: int,
+                       within_sentence: bool = False) -> set:
     """Dual single-position relation: collocate constraint within
     ``default_slop`` tokens of the head, either side (the DataFrame
     twin's slop-window branch)."""
@@ -116,12 +121,19 @@ def _dual_window_pairs(searcher, head: str, rel: RelationConfig,
     heads = searcher._postings_with_positions(head, head_layer)
     (allowed, _ban), = searcher._slot_maps(
         _steps([citem]), max_terms_per_slot)
+    docs = sorted(set(heads) & set(allowed))
+    sents = (searcher.forward_layer(docs, "sent_no")
+             if within_sentence else None)
     pairs = set()
-    for d in set(heads) & set(allowed):
+    for d in docs:
         hp = np.asarray(heads[d], dtype=np.int64)
         cp = np.asarray(allowed[d], dtype=np.int64)
         diff = np.abs(cp[None, :] - hp[:, None])
-        ii, jj = np.nonzero((diff >= 1) & (diff <= rel.default_slop))
+        ok = (diff >= 1) & (diff <= rel.default_slop)
+        if within_sentence and len(sents.get(d, [])):
+            s = np.asarray(sents[d], dtype=np.int64)
+            ok &= s[hp][:, None] == s[cp][None, :]
+        ii, jj = np.nonzero(ok)
         pairs.update((d, int(hp[i]), int(cp[j])) for i, j in zip(ii, jj))
     return pairs
 
@@ -150,6 +162,7 @@ def index_word_sketch_distributed(
     min_logdice: float = 0.0,
     round_dp: int | None = None,
     relation_types: tuple[str, ...] = ("SURFACE",),
+    within_sentence: bool = False,
 ):
     """The full sketch fan-out as a DISTRIBUTED plan over the index's
     OWN artifacts — no corpus scan, no driver-resident postings:
@@ -182,7 +195,8 @@ def index_word_sketch_distributed(
         tokens, stats, head, catalog, head_pos=head_pos,
         subst_attr=subst_attr, colloc_attr=colloc_attr,
         limit_per_relation=limit_per_relation, min_logdice=min_logdice,
-        round_dp=round_dp, relation_types=relation_types)
+        round_dp=round_dp, relation_types=relation_types,
+        within_sentence=within_sentence)
 
 
 def index_relation_collocates(
@@ -252,6 +266,7 @@ def index_word_sketch(
     round_dp: int | None = None,
     relation_types: tuple[str, ...] = ("SURFACE",),
     max_terms_per_slot: int = 256,
+    within_sentence: bool = False,
 ) -> list[tuple[str, str, int, float, float]]:
     """Full word sketch SERVED FROM THE INDEX: every applicable pattern
     relation's ranked collocates —
@@ -270,6 +285,7 @@ def index_word_sketch(
                 searcher, head, rel, subst_attr=subst_attr,
                 colloc_attr=colloc_attr, min_logdice=min_logdice,
                 limit=limit_per_relation, round_dp=round_dp,
-                max_terms_per_slot=max_terms_per_slot):
+                max_terms_per_slot=max_terms_per_slot,
+                within_sentence=within_sentence):
             out.append((rel.id, *row))
     return out
