@@ -183,6 +183,12 @@ def test_word_sketch_patterns_reuses_cached_token_table(spark, docs_small):
     # nodes re-print their cached child plan including its FileScan.)
     n_cached_reads = plan.count("InMemoryTableScan")
     assert n_cached_reads >= 10, f"only {n_cached_reads} cached reads"
+    # round-4 fan-out shape: the WHOLE relation fan-out shares ONE
+    # scoring tail — exactly one per-relation top-k window, and the
+    # vocab-stats lookup joins once (its cf column appears in one join
+    # key set), not once per relation
+    assert plan.count("Window [") == 1
+    assert "WindowGroupLimit" in plan  # rank-limit pushdown survives
     release_all()
 
 

@@ -233,3 +233,58 @@ def test_to_wpl_text_sentence_markers(spark):
     assert "del" not in wpl  # MWT dropped
     # sentence order preserved
     assert wpl.index("cat\t") < wpl.index("A\t")
+
+
+def test_streaming_conllu_ingest_incremental(spark, tmp_path):
+    """availableNow CoNLL-U stream: run 1 builds the base multi-layer
+    index from the files present; a new file lands; run 2 folds ONLY it
+    in (checkpoint-tracked) via the LSM conllu merge — searchable
+    layers, forward arrays, and name↔id mapping all current."""
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+    from word_sketch_lucene_spark.streaming.ingest import (
+        ingest_conllu_available_now,
+    )
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    def write(name, sents):
+        lines = []
+        for s in sents:
+            toks = s.split()
+            for i, w in enumerate(toks, start=1):
+                upos = "VERB" if w in ("sleeps", "bark", "barks") else "NOUN"
+                xpos = "VB" if upos == "VERB" else "NN"
+                head = 0 if upos == "VERB" else min(i + 1, len(toks))
+                rel = "root" if head == 0 else "nsubj"
+                lines.append(f"{i}\t{w}\t{w.rstrip('s')}\t{upos}\t{xpos}"
+                             f"\t_\t{head}\t{rel}")
+            lines.append("")
+        (corpus / name).write_text("\n".join(lines) + "\n")
+
+    write("a.conllu", ["cat sleeps", "dogs bark"])
+    write("b.conllu", ["cat barks"])
+    work = tmp_path / "work"
+    root = tmp_path / "idx"
+    r1 = ingest_conllu_available_now(spark, str(corpus), work, root,
+                                     doc_salt=1, n_partitions=2)
+    s1 = IndexSearcher(spark, r1)
+    assert s1.stats["n_docs"] == 2
+    assert len(s1.search(["cat"], k=5)[0]) == 2
+
+    write("c.conllu", ["cat naps", "birds sing"])
+    r2 = ingest_conllu_available_now(spark, str(corpus), work, root,
+                                     doc_salt=1, n_partitions=2)
+    assert r2 != r1
+    s2 = IndexSearcher(spark, r2)
+    assert s2.stats["n_docs"] == 3
+    assert len(s2.search(["cat"], k=5)[0]) == 3
+    # layers + relation machinery survive the merge
+    assert s2.pattern_hits('[upos="NOUN"] [xpos="VB"]')
+    names = {r["doc_name"] for r in
+             spark.read.parquet(str(r2 / "doc_names")).collect()}
+    assert names == {"a.conllu", "b.conllu", "c.conllu"}
+    # re-run with nothing new: checkpoint says no batch, root unchanged
+    r3 = ingest_conllu_available_now(spark, str(corpus), work, root,
+                                     doc_salt=1, n_partitions=2)
+    assert s1.stats["n_docs"] == 2  # old root untouched (readers valid)
+    assert IndexSearcher(spark, r3).stats["n_docs"] == 3

@@ -65,15 +65,10 @@ def parse_conllu_text(doc_id: str, text: str, sent_offset: int = 0):
     return rows
 
 
-def read_conllu(spark: SparkSession, path: str) -> DataFrame:
-    """Directory/glob of ``.conllu`` files → annotated token DataFrame.
-
-    One file per row via ``wholetext`` (sentence state never crosses a
-    task boundary), parsed in Arrow batches.
-    """
-    files = spark.read.text(path, wholetext=True).withColumn(
-        "file", F.input_file_name())
-
+def parse_conllu_files_df(files: DataFrame) -> DataFrame:
+    """``(file, value)`` whole-file rows → annotated token DataFrame
+    (Arrow-batched parser) — the shared kernel of :func:`read_conllu`
+    and the streaming ingestion (``streaming.ingest``)."""
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["doc_id", "sent_id", "token_id", "word", "lemma",
                 "upos", "xpos", "head", "deprel", "feats", "misc"]
@@ -84,6 +79,17 @@ def read_conllu(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(out, columns=cols)
 
     return files.select("file", "value").mapInPandas(parse, CONLLU_SCHEMA)
+
+
+def read_conllu(spark: SparkSession, path: str) -> DataFrame:
+    """Directory/glob of ``.conllu`` files → annotated token DataFrame.
+
+    One file per row via ``wholetext`` (sentence state never crosses a
+    task boundary), parsed in Arrow batches.
+    """
+    files = spark.read.text(path, wholetext=True).withColumn(
+        "file", F.input_file_name())
+    return parse_conllu_files_df(files)
 
 
 def parse_conllu_docs(docs: DataFrame, id_col: str = "doc_id",

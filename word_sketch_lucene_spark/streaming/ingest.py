@@ -67,6 +67,86 @@ def ingest_available_now(
     return built
 
 
+def ingest_conllu_available_now(
+    spark: SparkSession,
+    conllu_dir: str,
+    work_dir: str | Path,
+    index_root: str | Path,
+    max_files_per_batch: int | None = None,
+    **build_kw,
+) -> Path:
+    """Incremental CoNLL-U ingestion as a file stream — the streaming
+    upgrade of the reference's "re-run IndexTool add on new chunk
+    files" loop: an ``availableNow`` whole-file text stream over the
+    corpus directory; the first non-empty batch builds the base
+    multi-layer index, every later batch (and every later RUN, as new
+    ``.conllu`` files land — the stream checkpoint tracks what was
+    seen) folds in via ``index.merge.add_conllu_documents`` (delta
+    build with offset doc ids + LSM merge of segments, layers, forward
+    arrays, and the name↔id mapping).
+
+    Returns the CURRENT index root: the base root after the first
+    batch, else the newest merged root (``<work>/merged_NNNNNN`` —
+    atomic-swap contract: the caller promotes it; prior roots stay
+    valid for readers).
+    """
+    from ..index.merge import add_conllu_documents
+    from ..sources.conllu import parse_conllu_files_df
+
+    work = Path(work_dir)
+    checkpoint = work / "_conllu_checkpoint"
+    work.mkdir(parents=True, exist_ok=True)
+    index_root = Path(index_root)
+    # resume point: the newest promoted merge, else the base root
+    # (merge manifests live at <root>/_manifest.json, build manifests
+    # per stage under <root>/segments/)
+    def _complete(p: Path) -> bool:
+        return ((p / "_manifest.json").exists()
+                or (p / "segments" / "_manifest.json").exists())
+
+    merged = sorted(p for p in work.glob("merged_*") if _complete(p))
+    if merged:
+        current = merged[-1]
+    elif _complete(index_root):
+        current = index_root
+    else:
+        current = None
+    state = {"root": current}
+
+    reader = spark.readStream.option("wholetext", "true")
+    if max_files_per_batch:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_batch)
+    files = (reader.text(conllu_dir)
+             .select(F.input_file_name().alias("file"), "value"))
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        parsed = parse_conllu_files_df(batch_df)
+        if state["root"] is None:
+            from ..index.build import build_conllu_index
+
+            build_conllu_index(spark, parsed, index_root, **build_kw)
+            state["root"] = index_root
+        else:
+            staging = work / f"stage_{epoch_id:06d}"
+            merged = add_conllu_documents(spark, state["root"], parsed,
+                                          staging, **build_kw)
+            promoted = work / f"merged_{epoch_id:06d}"
+            Path(merged).rename(promoted)
+            state["root"] = promoted
+
+    q = (
+        files.writeStream
+        .foreachBatch(handle_batch)
+        .option("checkpointLocation", str(checkpoint))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state["root"] if state["root"] is not None else index_root
+
+
 def live_delta_roots(work_dir: str | Path) -> list[Path]:
     """All delta indexes currently on disk (complete ones only)."""
     deltas_dir = Path(work_dir) / "deltas"
