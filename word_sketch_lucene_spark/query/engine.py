@@ -381,7 +381,8 @@ class IndexSearcher:
                 cache[v] = found.get(v, 0)
         return {v: cache[v] for v in values if cache[v] > 0}
 
-    def forward_token_table(self) -> DataFrame | None:
+    def forward_token_table(self, columns: set[str] | None = None
+                            ) -> DataFrame | None:
         """DISTRIBUTED multi-layer token table derived from the index's
         own ``forward_layers`` store: ``posexplode`` of the per-doc
         value arrays → ``(doc_id, pos, term, lemma, upos, xpos, deprel,
@@ -392,11 +393,21 @@ class IndexSearcher:
         the corpus; at 100× corpus the same query must shard, and the
         forward store already is a doc-partitioned parquet table.
         Falls back to the term-only ``docstore`` when no forward layers
-        were built; ``None`` when neither exists."""
+        were built; ``None`` when neither exists.
+
+        ``columns`` restricts which layer arrays are zipped: the
+        ``arrays_zip`` consumes every requested array wholesale, so
+        Catalyst cannot column-prune through it — a 2-layer pattern
+        must not pay for scanning all 11 stored arrays. Callers pass
+        the layers their plan actually tests/captures."""
         fwp = self.root / "forward_layers"
         if fwp.exists():
             fw = self.spark.read.parquet(str(fwp))
-            cols = [c for c in fw.columns if c != "doc_id"]
+            cols = [c for c in fw.columns
+                    if c != "doc_id"
+                    and (columns is None or c in columns)]
+            if not cols:
+                return None
             return fw.select(
                 "doc_id",
                 F.posexplode(F.arrays_zip(*cols)).alias("pos", "z"),
@@ -852,17 +863,17 @@ class IndexSearcher:
             parse_cql,
         )
 
-        tokens = self.forward_token_table()
-        if tokens is not None:
-            attrs = {effective_test(t).attr
-                     for st in _steps(parse_cql(pattern))
-                     for t in st.item.tests}
-            cols = set(tokens.columns)
-            need = {DEFAULT_LAYERS.get(a, a) for a in attrs}
-            if within_sentence:
-                need.add("sent_no")
-            if not need <= cols:
-                tokens = None
+        attrs = {effective_test(t).attr
+                 for st in _steps(parse_cql(pattern))
+                 for t in st.item.tests}
+        # the virtual `class` attr derives from the surface term column
+        need = {"term" if a == "class" else DEFAULT_LAYERS.get(a, a)
+                for a in attrs}
+        if within_sentence:
+            need.add("sent_no")
+        tokens = self.forward_token_table(columns=need)
+        if tokens is not None and not need <= set(tokens.columns):
+            tokens = None
         if tokens is None:
             return self.pattern_hits(pattern, max_terms_per_slot,
                                      within_sentence=within_sentence)

@@ -183,10 +183,27 @@ def index_word_sketch_distributed(
     cold/huge-head case executor-side (the scale split the reference
     never needs at one node, ``BlackLabQueryExecutor.java:117-144``).
     """
-    from ..plans.relations import word_sketch_patterns
+    from ..plans.cql import effective_test
+    from ..plans.relations import pattern_pos_group, word_sketch_patterns
 
-    tokens = searcher.forward_token_table()
-    if tokens is None or "lemma" not in tokens.columns:
+    # request only the layer arrays this fan-out tests/captures — the
+    # posexplode consumes whole arrays, so an unrequested layer is a
+    # scan column saved (arrays_zip blocks Catalyst pruning)
+    need = {"term", DEFAULT_LAYERS[subst_attr], DEFAULT_LAYERS[colloc_attr]}
+    if within_sentence:
+        need.add("sent_no")
+    for rel in catalog.relations:
+        if not rel.pattern or rel.type not in relation_types:
+            continue
+        if head_pos is not None and pattern_pos_group(rel) != head_pos:
+            continue
+        for it in parse_cql(rel.pattern):
+            for t in getattr(it, "tests", ()):
+                a = effective_test(t).attr
+                need.add("term" if a == "class"
+                         else DEFAULT_LAYERS.get(a, a))
+    tokens = searcher.forward_token_table(columns=need)
+    if tokens is None or DEFAULT_LAYERS[subst_attr] not in tokens.columns:
         raise NotImplementedError(
             "index has no forward_layers store — build with "
             "index.build.build_conllu_index(store_docstore=True)")
