@@ -28,7 +28,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def main() -> None:
     ap = argparse.ArgumentParser(description="Build a BM25 inverted index")
     src = ap.add_mutually_exclusive_group(required=True)
-    src.add_argument("--input", help="parquet pages table (url/text or doc_id/text)")
+    src.add_argument("--input", help="pages table: parquet path or "
+                     "Iceberg identifier (url/text or doc_id/text)")
     src.add_argument("--conllu", help="directory/glob of .conllu files: "
                      "multi-layer index (term + lemma/upos/xpos/deprel "
                      "postings) from tagger output — the reference's "
@@ -73,7 +74,11 @@ def main() -> None:
         pages = generate_pages(spark, args.synthetic, seed=42)
         input_paths = None
     else:
-        pages = spark.read.parquet(args.input)
+        # parquet path OR an Iceberg table identifier (north-rule
+        # ingest shape; needs the iceberg runtime on the cluster)
+        from word_sketch_lucene_spark.sources.iceberg import read_table
+
+        pages = read_table(spark, args.input)
         if args.id_col not in pages.columns:
             # two-phase distributed id assignment — a global
             # row_number() window would shuffle the 100-TB ingest to

@@ -94,3 +94,40 @@ def test_assign_doc_ids_deterministic(spark):
     b = assign_doc_ids(df, "doc_id", order_col="url") \
         .select("url", "doc_id").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_iceberg_seam_path_fallback_and_guards(spark, tmp_path):
+    """The Iceberg seam: parquet paths round-trip through read/write;
+    Iceberg-only features fail fast with actionable errors when the
+    runtime (absent in this sandbox) is missing; the session conf is
+    the documented catalog mount."""
+    import pytest
+
+    from word_sketch_lucene_spark.sources.iceberg import (
+        iceberg_available,
+        iceberg_session_conf,
+        read_table,
+        table_snapshots,
+        write_table,
+    )
+
+    conf = iceberg_session_conf("wsl", "s3://bucket/wh")
+    assert conf["spark.sql.catalog.wsl"].endswith("SparkCatalog")
+    assert conf["spark.sql.catalog.wsl.warehouse"] == "s3://bucket/wh"
+
+    p = str(tmp_path / "t.parquet")
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    write_table(df, p, mode="overwrite")
+    assert read_table(spark, p).count() == 5
+    write_table(df, p, mode="append")
+    assert read_table(spark, p).count() == 10
+
+    with pytest.raises(ValueError, match="snapshot"):
+        read_table(spark, p, snapshot_id=1)
+    with pytest.raises(ValueError, match="manifest"):
+        table_snapshots(spark, p)
+    if not iceberg_available(spark):
+        with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            read_table(spark, "wsl.crawl.pages")
+        with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            write_table(df, "wsl.crawl.pages")
