@@ -498,7 +498,9 @@ def _contract_index_root(spark: SparkSession, sf_dir: str):
 
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
     root = Path(tempfile.gettempdir()) / f"wsl_contract_idx_{tag}"
-    build_index(spark, _docs(spark, sf_dir), root, store_docstore=False,
+    # docstore kept: the term forward arrays serve index-side
+    # exploration (multiseed_common_index) and the hot-pattern fallback
+    build_index(spark, _docs(spark, sf_dir), root, store_docstore=True,
                 input_paths=[f"{sf_dir}/documents.parquet"])
     return root
 
@@ -563,6 +565,30 @@ def q_cql_collocates(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = explode_tokens(_docs(spark, sf_dir))
     return pattern_collocates(toks, term_stats(toks), CQL_COLLOC_PATTERN,
                               head="spark", limit=20, round_dp=4)
+
+
+def q_multiseed_common_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1/A7/A8 exploration SERVED FROM THE INDEX (term postings +
+    forward-array stored-hit windows + dictionary stats —
+    ``query/explore.py``), checked against the SAME first-principles
+    SQL oracle as the DataFrame path: proves the serving tier computes
+    the exact multi-seed intersection, not an approximation of it."""
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+    from word_sketch_lucene_spark.query.explore import (
+        index_common_collocates,
+        index_seed_collocates,
+    )
+
+    s = IndexSearcher(spark, _contract_index_root(spark, sf_dir))
+    per_seed = index_seed_collocates(s, SEEDS, limit_per_seed=50,
+                                     min_gap=1, max_gap=2, ordered=False,
+                                     round_dp=4)
+    rows = index_common_collocates(per_seed, min_shared=2, round_dp=4)
+    return spark.createDataFrame(
+        [(t, int(sb), int(tf), float(mx), float(av), float(sm))
+         for t, sb, tf, mx, av, sm in rows],
+        "colloc_term string, shared_by long, total_freq long, "
+        "max_logdice double, avg_logdice double, sum_logdice double")
 
 
 def q_cql_deprel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_sketch_index_dist": q_word_sketch_index_dist,
         "cql_deprel": q_cql_deprel,
         "multiseed_common": q_multiseed_common,
+        "multiseed_common_index": q_multiseed_common_index,
         "profile_stats": q_profile_stats,
         "core_collocates": q_core_collocates,
         "relation_totals": q_relation_totals,
@@ -722,6 +749,8 @@ def oracle_sql() -> dict[str, str]:
             SKETCH_HEAD, _en_catalog(), head_pos="NOUN", k_per_relation=10),
         "cql_deprel": osql.sql_dep_sketch_conllu("scan", "nsubj"),
         "multiseed_common": osql.sql_multiseed_common(SEEDS, 1, 2, 50, 2),
+        "multiseed_common_index": osql.sql_multiseed_common(SEEDS, 1, 2,
+                                                            50, 2),
         "profile_stats": osql.sql_profile_stats(SEEDS, 1, 2, 50),
         "core_collocates": osql.sql_core_collocates(SEEDS, 1, 2, 50,
                                                     len(SEEDS)),
