@@ -106,3 +106,37 @@ def test_resize_and_frame_plans(spark):
     offs = [r["frame_offset"] for r in fp.filter(F.col("media_id") == 0)
             .orderBy("frame_offset").collect()]
     assert offs == sorted(offs) and offs[0] == 0
+
+
+def test_media_features_feed_similarity_tier(spark):
+    """Multimodal → ANN integration: payload byte-histogram embeddings
+    are unit-norm, deterministic, and plug into the cosine machinery
+    (every item's nearest neighbor at rank 1 is itself)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from word_sketch_lucene_spark.operators.multimodal import (
+        generate_media,
+        media_features,
+    )
+    from word_sketch_lucene_spark.operators.similarity import cosine_topk
+
+    media = generate_media(spark, 60, seed=3)
+    emb = media_features(media, dim=32).cache()
+    rows = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    assert len(rows) == 60
+    norms = [float(np.linalg.norm(v)) for v in rows.values()]
+    assert all(abs(n - 1.0) < 1e-5 for n in norms)
+    # determinism: regenerating yields identical vectors
+    again = {r["vec_id"]: r["embedding"] for r in
+             media_features(generate_media(spark, 60, seed=3),
+                            dim=32).collect()}
+    assert again == rows
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    top = cosine_topk(emb, queries, k=3, round_dp=4)
+    best = {r["query_id"]: r["vec_id"] for r in
+            top.filter(F.col("rank") == 1).collect()}
+    assert best == {q: q for q in range(5)}
+    emb.unpersist()

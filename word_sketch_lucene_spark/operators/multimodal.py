@@ -97,6 +97,36 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(parse, out_schema)
 
 
+def media_features(media: DataFrame, dim: int = 64,
+                   payload_col: str = "payload",
+                   id_col: str = "media_id") -> DataFrame:
+    """Feature extraction: payload bytes → L2-normalized ``dim``-bucket
+    byte histogram as ``embedding array<float>`` — the REAL Spark side
+    of an embedding pipeline (Arrow batch shape, schema, partition
+    flow); a deployment swaps the histogram for a model forward pass in
+    the same kernel. Output plugs straight into the similarity tier
+    (``operators.similarity.cosine_topk`` / ``lsh_cosine_topk`` /
+    ``cosine_near_dup_pairs`` keyed on ``vec_id``).
+    """
+    out_schema = f"vec_id long, embedding array<float>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = np.frombuffer(bytes(payload or b""), dtype=np.uint8)
+                hist = np.bincount(b % dim, minlength=dim) \
+                    .astype(np.float64)
+                n = np.linalg.norm(hist)
+                if n > 0:
+                    hist /= n
+                ids.append(int(mid))
+                vecs.append(hist.astype(np.float32).tolist())
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    return media.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
 def decode_image(payload: bytes):
     """STUB: real decode requires an image library not present in this
     container. The call signature and error contract are the deployment
