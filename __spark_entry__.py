@@ -650,6 +650,25 @@ def q_word_sketch_index_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         limit_per_relation=10, round_dp=4)
 
 
+def q_cql_deprel_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INDEX-SERVED twin of ``cql_deprel`` (deprel postings +
+    structural forward arrays, auto-routed to the distributed
+    dependency join when the deprel slot is hot), checked against the
+    SAME first-principles SQL oracle — proves the serving tier, not
+    just the DataFrame compile, reproduces relation-query semantics."""
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+    from word_sketch_lucene_spark.query.sketch import (
+        index_relation_collocates,
+    )
+
+    s = IndexSearcher(spark, _contract_conllu_index_root(spark, sf_dir))
+    rows = index_relation_collocates(s, '[lemma="scan"] -nsubj-> _',
+                                     limit=20, round_dp=4)
+    return spark.createDataFrame(
+        [(t, int(f), float(ld)) for t, f, ld in rows],
+        "dep_term string, pair_freq long, logdice double")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -694,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_sketch_dep_conllu": q_word_sketch_dep_conllu,
         "word_sketch_index_dist": q_word_sketch_index_dist,
         "cql_deprel": q_cql_deprel,
+        "cql_deprel_index": q_cql_deprel_index,
         "multiseed_common": q_multiseed_common,
         "multiseed_common_index": q_multiseed_common_index,
         "profile_stats": q_profile_stats,
@@ -748,6 +768,7 @@ def oracle_sql() -> dict[str, str]:
         "word_sketch_index_dist": osql.sql_word_sketch_conllu(
             SKETCH_HEAD, _en_catalog(), head_pos="NOUN", k_per_relation=10),
         "cql_deprel": osql.sql_dep_sketch_conllu("scan", "nsubj"),
+        "cql_deprel_index": osql.sql_dep_sketch_conllu("scan", "nsubj"),
         "multiseed_common": osql.sql_multiseed_common(SEEDS, 1, 2, 50, 2),
         "multiseed_common_index": osql.sql_multiseed_common(SEEDS, 1, 2,
                                                             50, 2),

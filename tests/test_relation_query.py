@@ -234,6 +234,31 @@ def test_index_word_sketch_distributed_identical(spark, conllu_index):
     assert got_dep == want_dep and got_dep
 
 
+def test_relation_matches_auto_distributed_identical(spark, conllu_index):
+    """The deprel slot is corpus-proportional, so hot relation queries
+    must leave the driver: the forced distributed dependency join over
+    the forward token table reproduces the in-driver resolver match
+    for match, and the collocate ranking is route-independent."""
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+    from word_sketch_lucene_spark.query.sketch import (
+        index_relation_collocates,
+    )
+
+    root, _, _ = conllu_index
+    s = IndexSearcher(spark, root)
+    q = '[lemma="scan"] -nsubj-> [upos="NOUN"]'
+    direct = sorted(s.relation_matches(q))
+    assert direct
+    routed = sorted(s.relation_matches_auto(q, df_budget=0))  # force
+    assert routed == direct
+    # under budget the auto path is the in-driver resolver
+    assert sorted(s.relation_matches_auto(q)) == direct
+    want = index_relation_collocates(s, q, limit=20, round_dp=4)
+    got = index_relation_collocates(s, q, limit=20, round_dp=4,
+                                    df_budget=0)
+    assert got == want and got
+
+
 def test_position_cache_byte_budget_evicts_not_breaks(spark, conllu_index):
     """The position caches are bounded in BYTES, not just entries: with
     a tiny budget every older entry evicts, results stay identical, and

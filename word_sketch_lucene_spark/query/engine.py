@@ -797,6 +797,64 @@ class IndexSearcher:
                 out.append((d, int(g), int(p)))
         return out
 
+    def relation_matches_auto(self, query, max_terms_per_slot: int = 256,
+                              df_budget: int = 500_000
+                              ) -> list[tuple[int, int, int]]:
+        """:meth:`relation_matches` with the hot-slot guard: the
+        dependent side always carries a positive ``deprel`` test whose
+        Σcf is a fixed fraction of the CORPUS (every token has a
+        deprel), so at scale the in-driver resolver would pull a
+        corpus-sized postings map. Over ``df_budget`` the query runs as
+        a distributed dependency join over the forward token table
+        instead: governor side filtered by the source tests, dependent
+        side by deprel + target tests, joined on ``(doc_id, sent_no,
+        head == governor token_id)`` — the same join shape as
+        ``operators.dependency.relation_query_pairs``, executed against
+        the index's own store."""
+        from ..plans.cql import (
+            DEFAULT_LAYERS,
+            AttrTest,
+            TokenItem,
+            _item_predicate,
+            effective_test,
+            parse_relation_query,
+        )
+
+        rq = (parse_relation_query(query) if isinstance(query, str)
+              else query)
+        if rq is None:
+            raise ValueError(f"not a relation query: {query!r}")
+        dep_tests = list(rq.target.tests) + [AttrTest("deprel", rq.deprel)]
+        cost = capped = 0
+        for tests in (dep_tests, rq.source.tests):
+            t2, c2 = self._tests_cost(tests, max_terms_per_slot)
+            cost += t2
+            capped = capped or c2
+        if cost <= df_budget and not capped:
+            return self.relation_matches(rq, max_terms_per_slot)
+        need = {"sent_no", "token_id", "head"}
+        for t in [*dep_tests, *rq.source.tests]:
+            a = effective_test(t).attr
+            need.add("term" if a == "class" else DEFAULT_LAYERS.get(a, a))
+        tokens = self.forward_token_table(columns=need)
+        if tokens is None or not need <= set(tokens.columns):
+            return self.relation_matches(rq, max_terms_per_slot)
+        cols = tokens.columns
+        gov = tokens.filter(_item_predicate(rq.source, cols)).select(
+            F.col("doc_id").alias("gd"), F.col("sent_no").alias("gs"),
+            F.col("token_id").alias("gt"), F.col("pos").alias("gp"))
+        dep = tokens.filter(
+            (F.col("head") > 0)
+            & _item_predicate(TokenItem(dep_tests), cols)
+        ).select("doc_id", "sent_no", "head", F.col("pos").alias("dp"))
+        rows = (dep.join(gov, (dep["doc_id"] == gov["gd"])
+                         & (dep["sent_no"] == gov["gs"])
+                         & (dep["head"] == gov["gt"]))
+                .select("doc_id", "gp", "dp")
+                .orderBy("doc_id", "gp", "dp").collect())
+        return [(int(r["doc_id"]), int(r["gp"]), int(r["dp"]))
+                for r in rows]
+
     def pattern_cost(self, pattern: str, max_terms_per_slot: int = 256
                      ) -> tuple[int, bool]:
         """(Σcf over every test's dictionary expansion, hit-the-cap
@@ -807,31 +865,44 @@ class IndexSearcher:
         df-based estimate under-counts it ~100× and keeps corpus-sized
         pulls in the driver. Dictionary-only scans (term_stats /
         layer_stats aggregates), never postings."""
-        from ..plans.cql import DEFAULT_LAYERS, _steps, effective_test, parse_cql
+        from ..plans.cql import _steps, parse_cql
 
         total, capped = 0, False
         for st in _steps(parse_cql(pattern)):
-            for t in st.item.tests:
-                t = effective_test(t)
-                layer = DEFAULT_LAYERS.get(t.attr)
-                if layer is None:
-                    continue
-                if layer == "term":
-                    src = self.term_stats.select(
-                        F.col("term").alias("value"), "cf")
-                else:
-                    self._require_layers()
-                    src = self.layer_stats.filter(
-                        F.col("layer") == layer).select("value", "cf")
-                if t.is_literal:
-                    flt = F.col("value") == t.value.replace("\\", "")
-                else:
-                    flt = F.col("value").rlike(f"^(?:{t.value})$")
-                row = src.filter(flt).agg(
-                    F.count("*").alias("n"),
-                    F.sum("cf").alias("scf")).collect()[0]
-                total += int(row["scf"] or 0)
-                capped = capped or int(row["n"]) > max_terms_per_slot
+            t2, c2 = self._tests_cost(st.item.tests, max_terms_per_slot)
+            total += t2
+            capped = capped or c2
+        return total, capped
+
+    def _tests_cost(self, tests, max_terms_per_slot: int
+                    ) -> tuple[int, bool]:
+        """Σcf + cap flag for one constraint's test list (the per-slot
+        kernel of :meth:`pattern_cost`, reused by the relation-query
+        router)."""
+        from ..plans.cql import DEFAULT_LAYERS, effective_test
+
+        total, capped = 0, False
+        for t in tests:
+            t = effective_test(t)
+            layer = DEFAULT_LAYERS.get(t.attr)
+            if layer is None:
+                continue
+            if layer == "term":
+                src = self.term_stats.select(
+                    F.col("term").alias("value"), "cf")
+            else:
+                self._require_layers()
+                src = self.layer_stats.filter(
+                    F.col("layer") == layer).select("value", "cf")
+            if t.is_literal:
+                flt = F.col("value") == t.value.replace("\\", "")
+            else:
+                flt = F.col("value").rlike(f"^(?:{t.value})$")
+            row = src.filter(flt).agg(
+                F.count("*").alias("n"),
+                F.sum("cf").alias("scf")).collect()[0]
+            total += int(row["scf"] or 0)
+            capped = capped or int(row["n"]) > max_terms_per_slot
         return total, capped
 
     def pattern_hits_auto(self, pattern: str,

@@ -224,13 +224,17 @@ def index_relation_collocates(
     limit: int = 20,
     round_dp: int | None = None,
     max_terms_per_slot: int = 256,
+    df_budget: int = 500_000,
 ) -> list[tuple[str, int, float]]:
     """BCQL relation query → ranked dependent collocates, fully
     index-side: ``[(dep_term, pair_freq, logdice)]`` — the serving twin
     of ``operators.dependency.relation_query_collocates`` (identical
     counting unit: one governor→dependent match = one pair), the
     reference's ``queryAndRankDepCollocates``
-    (``BlackLabQueryExecutor.java:231-244``)."""
+    (``BlackLabQueryExecutor.java:231-244``). Match resolution
+    auto-routes: in-driver forward-array resolver under the Σcf
+    budget, distributed dependency join over the forward token table
+    above it (``IndexSearcher.relation_matches_auto``)."""
     from ..plans.cql import parse_relation_query
 
     rq = parse_relation_query(query) if isinstance(query, str) else query
@@ -242,7 +246,8 @@ def index_relation_collocates(
     if head is None:
         raise ValueError("relation-query collocates need a literal "
                          "lemma/word test on the source operand")
-    matches = searcher.relation_matches(rq, max_terms_per_slot)
+    matches = searcher.relation_matches_auto(rq, max_terms_per_slot,
+                                             df_budget=df_budget)
     if not matches:
         return []
     layer = DEFAULT_LAYERS[colloc_attr]
