@@ -181,3 +181,40 @@ def test_simhash_signatures_matches_udf_semantics(spark):
     sigs = {r["doc_id"]: r["sig"]
             for r in simhash_signatures(sh).collect()}
     assert sigs[0] == sigs[1] != sigs[2]
+
+
+def test_md5le64_parity_three_engines(spark):
+    """md5le64_expr (Spark) == int.from_bytes(md5[:8], 'little')
+    (Python, what the streaming UDF hashes) == md5_number_upper
+    (DuckDB, what the oracle hashes) — over edge-case and bulk
+    strings. This equality is the bridge the minhash oracle stands on."""
+    import hashlib
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from word_sketch_lucene_spark.operators.dedup import md5le64_expr
+
+    strings = ["", "a", " ", "the quick brown fox", "0" * 64,
+               'quote " backslash \\', "tab\tsep", "newline\nend",
+               "unicode £€ 中文 🙂", "a b c", "b a c"]
+    strings += [f"shingle {i} of synthetic {i*i}" for i in range(200)]
+
+    def py64(s: str) -> int:
+        v = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    want = {s: py64(s) for s in strings}
+
+    sdf = spark.createDataFrame([(s,) for s in strings], "s string")
+    got_spark = {r["s"]: r["h"] for r in
+                 sdf.select("s", md5le64_expr(F.col("s")).alias("h"))
+                 .collect()}
+    assert got_spark == want
+
+    con = duckdb.connect()
+    got_duck = {}
+    for s in strings:
+        u = con.execute("select md5_number_upper(?)", [s]).fetchone()[0]
+        got_duck[s] = u - (1 << 64) if u >= (1 << 63) else u
+    assert got_duck == want
