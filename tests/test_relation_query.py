@@ -142,6 +142,27 @@ def test_within_sentence_spans_identical_and_strict(spark, conllu_index):
     assert bounded == df_bounded
 
 
+def test_within_clause_in_pattern_string(spark, conllu_index):
+    """BlackLab's `within <s/>` clause parses off the pattern string and
+    equals the explicit flag on every route (index, auto, DataFrame)."""
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+    from word_sketch_lucene_spark.sources.conllu import layer_tokens
+
+    root, parsed, name2id = conllu_index
+    s = IndexSearcher(spark, root)
+    clause = SENT_PAT + " within <s/>"
+    want = set(s.pattern_hits(SENT_PAT, within_sentence=True))
+    assert set(s.pattern_hits(clause)) == want
+    assert set(s.pattern_hits_auto(clause, df_budget=1)) == want
+    lt = layer_tokens(parsed, sent_len=10)
+    got_df = {(name2id[r["doc_id"]], r["start"], r["end"]) for r in
+              compile_cql(lt, clause).collect()}
+    assert got_df == want
+    # pattern_cost tolerates the clause (the router strips it)
+    cost, _ = s.pattern_cost(clause)
+    assert cost > 0
+
+
 def test_within_sentence_needs_sent_no_column(spark, docs_small):
     from word_sketch_lucene_spark.functions.tokenize import explode_tokens
 

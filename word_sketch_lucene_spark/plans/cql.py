@@ -119,6 +119,21 @@ def _split_amp(body: str) -> list[str]:
     return [p for p in (s.strip() for s in out) if p]
 
 
+# BlackLab's sentence-span clause: `PATTERN within <s/>` constrains the
+# whole match to one sentence (the reference indexes <s> spans,
+# conllu-sentences.blf.yaml:16; BlackLab CQL `within` operator)
+_WITHIN_RE = re.compile(r"\s+within\s*<\s*s\s*/?\s*>\s*$", re.IGNORECASE)
+
+
+def strip_within_sentence(pattern: str) -> tuple[str, bool]:
+    """Split an optional trailing ``within <s/>`` clause off a BCQL
+    string: ``(core_pattern, within_sentence_flag)``."""
+    m = _WITHIN_RE.search(pattern)
+    if m:
+        return pattern[:m.start()], True
+    return pattern, False
+
+
 def parse_cql(pattern: str) -> list[TokenItem | GapItem]:
     """Parse a mini-BCQL pattern into an item sequence.
 
@@ -366,6 +381,9 @@ def compile_cql(
     ordinals (folded into each positional join) bounds every token
     between them too.
     """
+    if isinstance(pattern, str):
+        pattern, ws = strip_within_sentence(pattern)
+        within_sentence = within_sentence or ws
     items = parse_cql(pattern) if isinstance(pattern, str) else pattern
     steps = _steps(items)
     cols = tokens.columns

@@ -605,11 +605,16 @@ class IndexSearcher:
         ``conllu-sentences.blf.yaml:16``).
 
         Returns distinct ``[(doc_id, start, end)]`` sorted.
+
+        A trailing BlackLab ``within <s/>`` clause in the pattern
+        string sets ``within_sentence`` too.
         """
         import numpy as np
 
-        from ..plans.cql import _steps, parse_cql
+        from ..plans.cql import _steps, parse_cql, strip_within_sentence
 
+        pattern, ws = strip_within_sentence(pattern)
+        within_sentence = within_sentence or ws
         steps = _steps(parse_cql(pattern))
         slots = self._slot_maps(steps, max_terms_per_slot)
         pos_slots = [allowed for allowed, _ in slots if allowed is not None]
@@ -700,8 +705,11 @@ class IndexSearcher:
         position of EVERY slot, not just the span ends). Accepts a
         pattern string or pre-parsed items (for head-substituted
         patterns)."""
-        from ..plans.cql import _steps, parse_cql
+        from ..plans.cql import _steps, parse_cql, strip_within_sentence
 
+        if isinstance(pattern, str):
+            pattern, ws = strip_within_sentence(pattern)
+            within_sentence = within_sentence or ws
         items = parse_cql(pattern) if isinstance(pattern, str) else pattern
         steps = _steps(items)
         slots = self._slot_maps(steps, max_terms_per_slot)
@@ -865,8 +873,9 @@ class IndexSearcher:
         df-based estimate under-counts it ~100× and keeps corpus-sized
         pulls in the driver. Dictionary-only scans (term_stats /
         layer_stats aggregates), never postings."""
-        from ..plans.cql import _steps, parse_cql
+        from ..plans.cql import _steps, parse_cql, strip_within_sentence
 
+        pattern, _ws = strip_within_sentence(pattern)
         total, capped = 0, False
         for st in _steps(parse_cql(pattern)):
             t2, c2 = self._tests_cost(st.item.tests, max_terms_per_slot)
@@ -922,18 +931,21 @@ class IndexSearcher:
         a pattern testing an attribute the forward store lacks stays on
         the index path (capped, documented best-effort, like the
         reference's max term expansion)."""
-        cost, capped = self.pattern_cost(pattern, max_terms_per_slot)
-        if cost <= df_budget and not capped:
-            return self.pattern_hits(pattern, max_terms_per_slot,
-                                     within_sentence=within_sentence)
         from ..plans.cql import (
             DEFAULT_LAYERS,
             _steps,
             compile_cql,
             effective_test,
             parse_cql,
+            strip_within_sentence,
         )
 
+        pattern, ws = strip_within_sentence(pattern)
+        within_sentence = within_sentence or ws
+        cost, capped = self.pattern_cost(pattern, max_terms_per_slot)
+        if cost <= df_budget and not capped:
+            return self.pattern_hits(pattern, max_terms_per_slot,
+                                     within_sentence=within_sentence)
         attrs = {effective_test(t).attr
                  for st in _steps(parse_cql(pattern))
                  for t in st.item.tests}
