@@ -58,22 +58,24 @@ def index_collocates_for_head(
     else:
         offsets = [o for o in range(-max_gap, max_gap + 1)
                    if abs(o) >= min_gap]
-    counts: Counter[str] = Counter()
+    # gather every window token into ONE array, then a single
+    # unique/count pass — per-(doc, offset) np.unique calls on tiny
+    # arrays dominated the serving wall (~50k calls for a common head)
+    chunks: list[np.ndarray] = []
     for d, hp in heads.items():
         arr = fw.get(d)
         if not arr:
             continue
         a = np.asarray(arr, dtype=object)
         hp = np.asarray(hp, dtype=np.int64)
-        for o in offsets:
-            idx = hp + o
-            sel = idx[(idx >= 0) & (idx < a.size)]
-            if sel.size:
-                vals, cnt = np.unique(a[sel], return_counts=True)
-                for v, c in zip(vals, cnt):
-                    counts[v] += int(c)
-    if not counts:
+        idx = (hp[:, None] + np.asarray(offsets, dtype=np.int64)).ravel()
+        sel = idx[(idx >= 0) & (idx < a.size)]
+        if sel.size:
+            chunks.append(a[sel])
+    if not chunks:
         return []
+    vals, cnts = np.unique(np.concatenate(chunks), return_counts=True)
+    counts: Counter[str] = Counter(dict(zip(vals.tolist(), cnts.tolist())))
     cf = searcher.layer_cf("term", sorted(counts) + [head_term])
     head_cf = cf.get(head_term, 0)
     if head_cf == 0:
