@@ -140,7 +140,9 @@ def test_pattern_collocates_counts_distinct_pairs(spark, toks):
 
 
 @pytest.mark.parametrize("bad", [
-    "", "[]", "[]{1,2}", "[word=spark]", '[word="a"]{1,2}', '[word="a"',
+    # NB: '[word="a"]{1,2}' is VALID since round 4 (bounded token
+    # quantifiers — test_relation_query.py covers them)
+    "", "[]", "[]{1,2}", "[word=spark]", '[word="a"]{2,1}', '[word="a"',
     '[]{3,1} [word="a"] [word="b"]',
 ])
 def test_parse_errors(bad):

@@ -163,6 +163,55 @@ def test_within_clause_in_pattern_string(spark, conllu_index):
     assert cost > 0
 
 
+REP_PAT = '[xpos="JJ.*"]{1,2} [xpos="NN.*"]'
+
+
+def test_repetition_quantifier_cross_path_identity(spark, conllu_index):
+    """Bounded token quantifiers (`[J]{1,2} [N]`, the BlackLab form):
+    index span chain == DataFrame compiler == manual variant union."""
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+    from word_sketch_lucene_spark.sources.conllu import layer_tokens
+
+    root, parsed, name2id = conllu_index
+    s = IndexSearcher(spark, root)
+    lt = layer_tokens(parsed, sent_len=10)
+    got_idx = set(s.pattern_hits(REP_PAT))
+    got_df = {(name2id[r["doc_id"]], r["start"], r["end"]) for r in
+              compile_cql(lt, REP_PAT).collect()}
+    assert got_idx == got_df and got_idx
+    # the union semantics: exactly the 1-rep ∪ 2-rep fixed sequences
+    single = {(name2id[r["doc_id"]], r["start"], r["end"]) for r in
+              compile_cql(lt, '[xpos="JJ.*"] [xpos="NN.*"]').collect()}
+    double = {(name2id[r["doc_id"]], r["start"], r["end"]) for r in
+              compile_cql(
+                  lt, '[xpos="JJ.*"] [xpos="JJ.*"] [xpos="NN.*"]'
+              ).collect()}
+    assert got_idx == single | double
+    assert double and got_idx > single  # double adjectives exist
+    # quantified + within-clause compose
+    bounded = set(s.pattern_hits(REP_PAT + " within <s/>"))
+    assert bounded <= got_idx
+    # auto route handles quantifiers on the distributed plan too
+    assert set(s.pattern_hits_auto(REP_PAT, df_budget=1)) == got_idx
+
+
+def test_repetition_quantifier_parse_rules():
+    from word_sketch_lucene_spark.plans.cql import (
+        TokenItem,
+        expand_repetitions,
+        parse_cql,
+    )
+
+    items = parse_cql(REP_PAT)
+    assert isinstance(items[0], TokenItem)
+    assert (items[0].rep_min, items[0].rep_max) == (1, 2)
+    assert len(expand_repetitions(items)) == 2
+    with pytest.raises(ValueError, match="repetition"):
+        parse_cql('[xpos="JJ.*"]{0,2} [xpos="NN.*"]')  # min 0 = use gaps
+    with pytest.raises(ValueError, match="variants"):
+        expand_repetitions(parse_cql('[a="x"]{1,9} [b="y"]{1,9}'))
+
+
 def test_within_sentence_needs_sent_no_column(spark, docs_small):
     from word_sketch_lucene_spark.functions.tokenize import explode_tokens
 

@@ -57,10 +57,17 @@ class AttrTest:
 
 @dataclass
 class TokenItem:
-    """One ``[...]`` constraint position, optionally labeled."""
+    """One ``[...]`` constraint position, optionally labeled.
+
+    ``rep_min``/``rep_max`` carry a bounded repetition quantifier
+    (``[xpos="JJ.*"]{1,2}`` — one or two consecutive matching tokens,
+    the BlackLab token-quantifier form); compilation expands the
+    pattern into its concrete-length variants."""
 
     tests: list[AttrTest] = field(default_factory=list)
     label: str | None = None
+    rep_min: int = 1
+    rep_max: int = 1
 
 
 @dataclass
@@ -164,10 +171,15 @@ def parse_cql(pattern: str) -> list[TokenItem | GapItem]:
                     raise ValueError(f"bad gap bounds {{{lo},{hi}}}")
                 items.append(GapItem(lo, hi))
             else:
+                rep_lo = rep_hi = 1
                 if gmin is not None:
-                    raise ValueError(
-                        "quantifiers only allowed on empty [] gaps")
-                items.append(TokenItem(_parse_body(body)))
+                    rep_lo, rep_hi = int(gmin), int(gmax)
+                    if not 1 <= rep_lo <= rep_hi:
+                        raise ValueError(
+                            f"bad repetition bounds {{{rep_lo},{rep_hi}}} "
+                            "(min ≥ 1; optional tokens = a [] gap)")
+                items.append(TokenItem(_parse_body(body),
+                                       rep_min=rep_lo, rep_max=rep_hi))
     # drop leading/trailing gaps (no anchor to attach to)
     while items and isinstance(items[0], GapItem):
         items.pop(0)
@@ -246,6 +258,38 @@ def parse_relation_query(pattern: str,
         raise ValueError(
             f"trailing content after relation query: {pattern[p2:]!r}")
     return RelationQuery(src, m.group("rel"), tgt)
+
+
+def has_repetitions(items: list[TokenItem | GapItem]) -> bool:
+    return any(isinstance(it, TokenItem)
+               and (it.rep_min, it.rep_max) != (1, 1) for it in items)
+
+
+def expand_repetitions(items: list[TokenItem | GapItem],
+                       max_variants: int = 64
+                       ) -> list[list[TokenItem | GapItem]]:
+    """Expand bounded token quantifiers into the concrete-length
+    pattern variants (``[J]{1,2} [N]`` → ``[J] [N]`` ∪ ``[J] [J]
+    [N]``) — the union-of-fixed-sequences reading of BlackLab's
+    quantified constraints. Variant count = Π(rep spans), capped."""
+    n = 1
+    for it in items:
+        if isinstance(it, TokenItem):
+            n *= it.rep_max - it.rep_min + 1
+    if n > max_variants:
+        raise ValueError(
+            f"repetition expansion would produce {n} pattern variants "
+            f"(cap {max_variants}) — narrow the quantifier bounds")
+    variants: list[list[TokenItem | GapItem]] = [[]]
+    for it in items:
+        if isinstance(it, TokenItem) and (it.rep_min, it.rep_max) != (1, 1):
+            unit = TokenItem(it.tests, label=it.label)
+            variants = [v + [unit] * k
+                        for v in variants
+                        for k in range(it.rep_min, it.rep_max + 1)]
+        else:
+            variants = [v + [it] for v in variants]
+    return variants
 
 
 def substitute_at_position(items: list[TokenItem | GapItem], value: str,
@@ -385,6 +429,16 @@ def compile_cql(
         pattern, ws = strip_within_sentence(pattern)
         within_sentence = within_sentence or ws
     items = parse_cql(pattern) if isinstance(pattern, str) else pattern
+    if has_repetitions(items):
+        # bounded token quantifiers: union of the concrete-length
+        # variants (each variant is a plain join chain)
+        out = None
+        for v in expand_repetitions(items):
+            b = compile_cql(tokens, v, keep_terms=keep_terms,
+                            capture_attrs=capture_attrs,
+                            within_sentence=within_sentence)
+            out = b if out is None else out.unionByName(b)
+        return out.distinct()
     steps = _steps(items)
     cols = tokens.columns
     if within_sentence and "sent_no" not in cols:

@@ -607,15 +607,32 @@ class IndexSearcher:
         Returns distinct ``[(doc_id, start, end)]`` sorted.
 
         A trailing BlackLab ``within <s/>`` clause in the pattern
-        string sets ``within_sentence`` too.
+        string sets ``within_sentence`` too; bounded token quantifiers
+        (``[xpos="JJ.*"]{1,2}``) execute as the union of their
+        concrete-length variants.
         """
         import numpy as np
 
-        from ..plans.cql import _steps, parse_cql, strip_within_sentence
+        from ..plans.cql import (
+            _steps,
+            expand_repetitions,
+            has_repetitions,
+            parse_cql,
+            strip_within_sentence,
+        )
 
         pattern, ws = strip_within_sentence(pattern)
         within_sentence = within_sentence or ws
-        steps = _steps(parse_cql(pattern))
+        items = parse_cql(pattern)
+        if has_repetitions(items):
+            out_set: set[tuple[int, int, int]] = set()
+            for v in expand_repetitions(items):
+                out_set.update(
+                    (d, p[0], p[-1]) for d, p in self.pattern_matches(
+                        v, max_terms_per_slot,
+                        within_sentence=within_sentence))
+            return sorted(out_set)
+        steps = _steps(items)
         slots = self._slot_maps(steps, max_terms_per_slot)
         pos_slots = [allowed for allowed, _ in slots if allowed is not None]
         if not pos_slots:
@@ -705,12 +722,22 @@ class IndexSearcher:
         position of EVERY slot, not just the span ends). Accepts a
         pattern string or pre-parsed items (for head-substituted
         patterns)."""
-        from ..plans.cql import _steps, parse_cql, strip_within_sentence
+        from ..plans.cql import (
+            _steps,
+            has_repetitions,
+            parse_cql,
+            strip_within_sentence,
+        )
 
         if isinstance(pattern, str):
             pattern, ws = strip_within_sentence(pattern)
             within_sentence = within_sentence or ws
         items = parse_cql(pattern) if isinstance(pattern, str) else pattern
+        if has_repetitions(items):
+            raise NotImplementedError(
+                "labeled-capture matching with repetition quantifiers "
+                "is ambiguous (variants have different slot counts) — "
+                "use pattern_hits for spans")
         steps = _steps(items)
         slots = self._slot_maps(steps, max_terms_per_slot)
         pos_slots = [allowed for allowed, _ in slots if allowed is not None]
