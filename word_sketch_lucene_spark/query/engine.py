@@ -859,34 +859,97 @@ class IndexSearcher:
               else query)
         if rq is None:
             raise ValueError(f"not a relation query: {query!r}")
+        if self.relation_route_distributed(rq, max_terms_per_slot,
+                                           df_budget):
+            return self._relation_matches_distributed(rq)
+        return self.relation_matches(rq, max_terms_per_slot)
+
+    def relation_route_distributed(self, rq, max_terms_per_slot: int = 256,
+                                   df_budget: int = 500_000) -> bool:
+        """The relation-query router's cost model: the in-driver
+        resolver pays (a) the postings pull (Σcf of every test) AND
+        (b) FULL forward-array reads (sent_no/token_id/head + the
+        collocate layer) for every candidate doc — (b) is
+        O(candidate_docs × avgdl), ≈ the corpus for an unselective
+        source, and dominates. Candidate docs are bounded by the most
+        selective positive test's Σdf; when the combined estimate
+        exceeds the budget (or an expansion hit the cap), serve
+        distributed."""
+        from ..plans.cql import AttrTest
+
         dep_tests = list(rq.target.tests) + [AttrTest("deprel", rq.deprel)]
-        cost = capped = 0
+        cost = 0
+        capped = False
+        doc_bounds = []
         for tests in (dep_tests, rq.source.tests):
-            t2, c2 = self._tests_cost(tests, max_terms_per_slot)
-            cost += t2
-            capped = capped or c2
-        if cost <= df_budget and not capped:
-            return self.relation_matches(rq, max_terms_per_slot)
+            for t in tests:
+                t2, c2 = self._tests_cost([t], max_terms_per_slot)
+                cost += t2
+                capped = capped or c2
+                if not t.negated:
+                    # Σdf of one positive test bounds candidate docs
+                    # (cf ≥ df, so the cf sum is a safe upper estimate
+                    # of df without a second dictionary scan)
+                    doc_bounds.append(t2)
+        est_docs = min(doc_bounds) if doc_bounds else self.stats["n_docs"]
+        est_docs = min(est_docs, self.stats["n_docs"])
+        forward_cost = int(est_docs * self.stats["avgdl"]) * 4
+        return bool(cost + forward_cost > df_budget or capped)
+
+    def relation_join_df(self, rq, dep_capture: str | None = None
+                         ) -> DataFrame:
+        """The distributed governor→dependent join over the forward
+        token table (column-pruned): one row per match ``(doc_id, gp,
+        dp[, colloc])``; ``dep_capture`` additionally projects the
+        dependent's value on that layer (in-plan collocate identity —
+        no per-doc forward pulls). Raises when the index has no
+        forward store."""
+        from ..plans.cql import (
+            DEFAULT_LAYERS,
+            AttrTest,
+            TokenItem,
+            _item_predicate,
+            effective_test,
+        )
+
+        dep_tests = list(rq.target.tests) + [AttrTest("deprel", rq.deprel)]
         need = {"sent_no", "token_id", "head"}
         for t in [*dep_tests, *rq.source.tests]:
             a = effective_test(t).attr
             need.add("term" if a == "class" else DEFAULT_LAYERS.get(a, a))
+        if dep_capture:
+            need.add(DEFAULT_LAYERS.get(dep_capture, dep_capture))
         tokens = self.forward_token_table(columns=need)
         if tokens is None or not need <= set(tokens.columns):
-            return self.relation_matches(rq, max_terms_per_slot)
+            raise NotImplementedError(
+                "distributed relation queries need the forward_layers "
+                "store with structural arrays "
+                "(index.build.build_conllu_index)")
         cols = tokens.columns
         gov = tokens.filter(_item_predicate(rq.source, cols)).select(
             F.col("doc_id").alias("gd"), F.col("sent_no").alias("gs"),
             F.col("token_id").alias("gt"), F.col("pos").alias("gp"))
+        dsel = ["doc_id", "sent_no", "head", F.col("pos").alias("dp")]
+        if dep_capture:
+            dsel.append(F.col(DEFAULT_LAYERS.get(dep_capture, dep_capture))
+                        .alias("colloc"))
         dep = tokens.filter(
             (F.col("head") > 0)
             & _item_predicate(TokenItem(dep_tests), cols)
-        ).select("doc_id", "sent_no", "head", F.col("pos").alias("dp"))
-        rows = (dep.join(gov, (dep["doc_id"] == gov["gd"])
+        ).select(*dsel)
+        out_cols = ["doc_id", "gp", "dp"] + (["colloc"] if dep_capture
+                                             else [])
+        return (dep.join(gov, (dep["doc_id"] == gov["gd"])
                          & (dep["sent_no"] == gov["gs"])
                          & (dep["head"] == gov["gt"]))
-                .select("doc_id", "gp", "dp")
-                .orderBy("doc_id", "gp", "dp").collect())
+                .select(*out_cols))
+
+    def _relation_matches_distributed(self, rq) -> list[tuple[int, int, int]]:
+        try:
+            df = self.relation_join_df(rq)
+        except NotImplementedError:
+            return self.relation_matches(rq)
+        rows = df.orderBy("doc_id", "gp", "dp").collect()
         return [(int(r["doc_id"]), int(r["gp"]), int(r["dp"]))
                 for r in rows]
 

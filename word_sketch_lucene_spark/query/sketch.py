@@ -246,17 +246,26 @@ def index_relation_collocates(
     if head is None:
         raise ValueError("relation-query collocates need a literal "
                          "lemma/word test on the source operand")
-    matches = searcher.relation_matches_auto(rq, max_terms_per_slot,
-                                             df_budget=df_budget)
-    if not matches:
-        return []
     layer = DEFAULT_LAYERS[colloc_attr]
-    fw = searcher.forward_layer(sorted({d for d, _, _ in matches}), layer)
-    counts: Counter[str] = Counter()
-    for d, _gp, dp in matches:
-        arr = fw.get(d)
-        if arr is not None and 0 <= dp < len(arr):
-            counts[arr[dp]] += 1
+    if searcher.relation_route_distributed(rq, max_terms_per_slot,
+                                           df_budget):
+        # hot slots: matches AND collocate identity in ONE distributed
+        # plan (per-doc forward pulls would cost O(corpus) driver-side)
+        from pyspark.sql import functions as F
+
+        counts = Counter({r["colloc"]: r["n"] for r in
+                          searcher.relation_join_df(rq, dep_capture=colloc_attr)
+                          .groupBy("colloc")
+                          .agg(F.count("*").alias("n")).collect()})
+    else:
+        matches = searcher.relation_matches(rq, max_terms_per_slot)
+        fw = searcher.forward_layer(sorted({d for d, _, _ in matches}),
+                                    layer)
+        counts = Counter()
+        for d, _gp, dp in matches:
+            arr = fw.get(d)
+            if arr is not None and 0 <= dp < len(arr):
+                counts[arr[dp]] += 1
     if not counts:
         return []
     cf = searcher.layer_cf(layer, sorted(counts) + [head])
