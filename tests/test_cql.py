@@ -218,3 +218,56 @@ def test_sensitivity_flag_index_side(spark, tmp_path):
     # sensitive vs insensitive genuinely differ on this corpus
     assert len(s.pattern_hits('[word="spark"]')) == 2
     assert len(s.pattern_hits('[word="(?-i)Spark"]')) == 1
+
+
+# --------------------------------------------- "_" no-annotation value
+def test_underscore_annotation_convention_all_tiers(spark, tmp_path):
+    """CoNLL-U's explicit "_" (no annotation): positive tests on an
+    annotation layer never match it, negated tests always do — on the
+    INDEX span chain, the forward-table fallback, AND the DataFrame
+    compile (r4 ADVICE: the index dropped "_" from layer postings while
+    the other tiers matched it)."""
+    from word_sketch_lucene_spark.index.build import build_conllu_index
+    from word_sketch_lucene_spark.plans.cql import compile_cql
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+    from word_sketch_lucene_spark.sources.conllu import (
+        layer_tokens,
+        parse_conllu_docs,
+    )
+
+    # tokens 1-4: xpos NN, _, VB, _
+    lines = "\n".join([
+        "1\talpha\talpha\tNOUN\tNN\t_\t0\tdep",
+        "2\tbeta\tbeta\tX\t_\t_\t1\tdep",
+        "3\tgamma\tgamma\tVERB\tVB\t_\t1\tdep",
+        "4\tdelta\tdelta\tX\t_\t_\t3\tdep",
+    ])
+    docs = spark.createDataFrame([("d1", lines)],
+                                 "doc_id string, conllu string")
+    parsed = parse_conllu_docs(docs)
+    root = tmp_path / "u_idx"
+    build_conllu_index(spark, parsed, root, doc_salt=1, n_partitions=2)
+    s = IndexSearcher(spark, root)
+    lt = layer_tokens(parsed)
+
+    def df_hits(pat):
+        return {(r["start"], r["end"])
+                for r in compile_cql(lt, pat).collect()}
+
+    # positive literal "_" matches nothing, every tier
+    assert s.pattern_hits('[xpos="_"] []{0,3} [xpos="VB"]') == []
+    assert df_hits('[xpos="_"] []{0,3} [xpos="VB"]') == set()
+    # positive regex that would cover "_" still skips it
+    assert {(st, e) for _, st, e in s.pattern_hits('[xpos="."] [xpos="."]')} \
+        == df_hits('[xpos="."] [xpos="."]') == set()
+    # negated test MATCHES the unannotated tokens on every tier
+    # (single-slot purely-negative patterns are DataFrame-only on the
+    # index path; anchor with a positive word test)
+    got_idx = {(st, e) for _, st, e in
+               s.pattern_hits('[word="alpha|gamma"] [xpos!="ZZ"]')}
+    assert got_idx == df_hits('[word="alpha|gamma"] [xpos!="ZZ"]') \
+        == {(0, 1), (2, 3)}
+    # forced forward-table fallback agrees too
+    assert set(s.pattern_hits_auto('[word="alpha|gamma"] [xpos!="ZZ"]',
+                                   df_budget=0)) \
+        == {(0, 0, 1), (0, 2, 3)}

@@ -374,3 +374,75 @@ def test_layer_tokens_sent_len_guard(spark):
     assert "collide" in str(ei.value) or isinstance(ei.value, Py4JJavaError)
     # the windowed path handles the same sentence fine
     assert layer_tokens(parsed).agg(F.max("pos")).collect()[0][0] == 10
+
+
+# ------------------------------------------- negated operand tests (r5)
+def test_relation_negated_tests_all_routes_identical(spark, conllu_index):
+    """Negated operand tests (``upos!=...``) must constrain identically
+    on ALL THREE routes — in-driver resolver, forced distributed join,
+    DataFrame compile — and must actually narrow the unnegated set
+    (ADVICE r4: suspected silent drop on the in-driver path)."""
+    from word_sketch_lucene_spark.operators.dependency import (
+        relation_query_pairs,
+    )
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+    from word_sketch_lucene_spark.sources.conllu import layer_tokens
+
+    root, parsed, name2id = conllu_index
+    s = IndexSearcher(spark, root)
+    base = '[lemma="scan"] -nsubj-> _'
+    full = sorted(s.relation_matches(base))
+    assert full
+    # negate the WORD of one actual dependent, so the negation is
+    # guaranteed to bite regardless of the synthetic tag distribution
+    lt = layer_tokens(parsed, sent_len=10)
+    id2name = {v: k for k, v in name2id.items()}
+    d0, _gp0, dp0 = full[0]
+    dep_word = lt.filter((F.col("doc_id") == id2name[d0])
+                         & (F.col("pos") == dp0)) \
+        .select("term").collect()[0][0]
+    neg = f'[lemma="scan"] -nsubj-> [word!="{dep_word}"]'
+    direct = sorted(s.relation_matches(neg))
+    routed = sorted(s.relation_matches_auto(neg, df_budget=0))  # force
+    assert routed == direct
+    assert set(direct) < set(full), "negation excluded nothing (weak)"
+    # negated SOURCE test: 'scan' is VERB, so upos!="VERB" on the
+    # source must empty the result on every route
+    neg_src = '[lemma="scan" & upos!="VERB"] -nsubj-> _'
+    assert s.relation_matches(neg_src) == []
+    assert s.relation_matches_auto(neg_src, df_budget=0) == []
+    # DataFrame twin on the SAME corpus: map (doc, sent, gov_id, dep_id)
+    # → flat positions via layer_tokens to compare spans
+    pos_of = {(name2id[r["doc_id"]], int(r["sent_no"]),
+               r["token_id"]): r["pos"]
+              for r in lt.select("doc_id", "sent_no", "token_id", "pos")
+              .collect()}
+    df_pairs = relation_query_pairs(parsed, neg).collect()
+    df_spans = sorted(
+        (name2id[r["doc_id"]],
+         pos_of[(name2id[r["doc_id"]], int(r["sent_id"]), r["gov_id"])],
+         pos_of[(name2id[r["doc_id"]], int(r["sent_id"]), r["dep_id"])])
+        for r in df_pairs)
+    assert df_spans == direct
+
+
+def test_relation_purely_negative_source_auto_routes(spark, conllu_index):
+    """A purely-negative source operand can't drive in-driver candidates
+    (complement is corpus-sized) — relation_matches raises, but the
+    AUTO router must serve it via the distributed join instead, and the
+    result must equal the DataFrame twin's."""
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    root, parsed, name2id = conllu_index
+    s = IndexSearcher(spark, root)
+    q = '[upos!="NOUN"] -nsubj-> _'
+    with pytest.raises(NotImplementedError):
+        s.relation_matches(q)
+    routed = sorted(s.relation_matches_auto(q))
+    rows = s.relation_join_df(
+        __import__("word_sketch_lucene_spark.plans.cql",
+                   fromlist=["parse_relation_query"])
+        .parse_relation_query(q)).collect()
+    want = sorted((int(r["doc_id"]), int(r["gp"]), int(r["dp"]))
+                  for r in rows)
+    assert routed == want and routed

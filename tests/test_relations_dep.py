@@ -404,3 +404,40 @@ def test_catalog_loads_from_py_files_zip(tmp_path):
         assert not inside.exists()  # only reachable through the zip
         cat = GrammarCatalog.load(inside)
         assert len(cat.relations) >= 47
+
+
+def test_kwic_distributed_route_is_a_plan(spark, docs_small, tmp_path,
+                                          monkeypatch):
+    """Plan gate (r4 verdict #2): a ROUTED-DISTRIBUTED pattern's KWIC
+    page must never materialize the full span list on the driver — the
+    page window pushes into the distributed plan (orderBy+limit →
+    TakeOrderedAndProject) and only ≤ offset+page_size span rows cross.
+    Monkeypatching the list-returning API to raise proves the page
+    never calls it; result identity vs the in-driver route proves the
+    plan computes the same page."""
+    from word_sketch_lucene_spark.index.build import build_index
+    from word_sketch_lucene_spark.query.concordance import (
+        index_pattern_concordance,
+    )
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    root = tmp_path / "kwic_dist_idx"
+    build_index(spark, docs_small, root, doc_salt=2, n_partitions=4)
+    s = IndexSearcher(spark, root)
+    pattern = '[word="spark"] []{0,1} [word="join"]'
+    want = [tuple(r) for r in index_pattern_concordance(
+        s, pattern, page_size=5, context=2).collect()]
+
+    def boom(*a, **k):  # pragma: no cover - the gate
+        raise AssertionError("KWIC collected the full span list")
+
+    monkeypatch.setattr(s, "pattern_hits_auto", boom)
+    monkeypatch.setattr(s, "pattern_hits", boom)
+    page_df = index_pattern_concordance(s, pattern, page_size=5,
+                                        context=2, df_budget=0)  # force
+    # the span side of the plan is windowed BEFORE the docstore join:
+    # a limit/TakeOrdered node sits in the executed plan
+    plan = page_df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+    got = [tuple(r) for r in page_df.collect()]
+    assert got == want and got

@@ -1,0 +1,302 @@
+"""Materialized collocation store — the ``collocations.bin`` analog.
+
+The reference precomputes per-(head, relation) collocate counts at
+build time and serves full sketches as O(1) lookups from a preloaded
+binary store (``/root/reference/CLAUDE.md:190-196``: 0–1 ms full
+sketch at 74 M sentences). The Spark twin:
+
+- BUILD: one grouped aggregate over the pattern-matched pair table for
+  ALL heads at once — the all-heads generalization of
+  ``plans.relations.word_sketch_patterns`` phase 1 (head substitution
+  just adds ``subst_attr == head`` to the head slot, so matching the
+  raw pattern and capturing the head slot's value yields exactly the
+  per-head pair sets, for every head, in one pass). Output is a
+  head-range-partitioned, head-sorted parquet dataset → a per-head
+  serve is a parquet-stats-pruned scan of a few row groups.
+- SERVE (plan tier): pruned scan + the SHARED scoring tail
+  (``plans.relations.score_ranked_collocates``) — row-identical to the
+  live fan-out by construction.
+- SERVE (interactive tier): per-head row cache on the searcher +
+  cached ``layer_cf`` stats → warm sketches are pure-python scoring,
+  sub-millisecond — the reference's pinned-``collocations.bin`` model.
+
+At 100 TB: the build is one extra shuffle keyed (relation, head,
+colloc) over the already-matched pairs (the same volume the live
+fan-out shuffles per query — paid once instead of per request); the
+store itself is vocabulary² bounded, tiny next to the postings.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.cql import DEFAULT_LAYERS, TokenItem, parse_cql
+from ..plans.relations import (
+    GrammarCatalog,
+    pattern_pos_group,
+    score_ranked_collocates,
+)
+
+STORE_DIR = "colloc_store"
+META_NAME = "_store_meta.json"
+
+
+def _store_rels(catalog: GrammarCatalog,
+                relation_types: tuple[str, ...]) -> list:
+    return [r for r in catalog.relations
+            if r.pattern and r.type in relation_types]
+
+
+def build_collocation_store(
+    searcher,
+    catalog: GrammarCatalog,
+    *,
+    relation_types: tuple[str, ...] = ("SURFACE", "DEP"),
+    subst_attr: str = "lemma",
+    colloc_attr: str = "lemma",
+    within_sentence: bool = False,
+    n_partitions: int | None = None,
+) -> Path:
+    """Materialize ``(relation, head, colloc, pair_freq)`` for EVERY
+    head over the index's own forward store. Idempotent per config
+    (meta file records the catalog patterns + attrs; a changed catalog
+    rebuilds). Returns the store path."""
+    from ..plans.cql import (
+        _item_predicate,
+        _resolve_col,
+        compile_cql,
+        effective_test,
+    )
+
+    rels = _store_rels(catalog, relation_types)
+    if not rels:
+        raise ValueError("no pattern relations to materialize")
+    meta = {
+        "relations": sorted(
+            (r.id, r.pattern, r.type, r.head_position, r.colloc_position,
+             bool(r.dual), r.default_slop) for r in rels),
+        "subst_attr": subst_attr,
+        "colloc_attr": colloc_attr,
+        "within_sentence": within_sentence,
+    }
+    out = Path(searcher.root) / STORE_DIR
+    meta_path = out / META_NAME
+    if meta_path.exists():
+        try:
+            if json.loads(meta_path.read_text()) == json.loads(
+                    json.dumps(meta)):
+                return out
+        except (json.JSONDecodeError, OSError):
+            pass
+    # column-pruned token table: only the layers the fan-out tests or
+    # captures (arrays_zip blocks Catalyst pruning — must be explicit)
+    need = {"term", DEFAULT_LAYERS[subst_attr], DEFAULT_LAYERS[colloc_attr]}
+    if within_sentence:
+        need.add("sent_no")
+    for rel in rels:
+        for it in parse_cql(rel.pattern):
+            for t in getattr(it, "tests", ()):
+                a = effective_test(t).attr
+                need.add("term" if a == "class"
+                         else DEFAULT_LAYERS.get(a, a))
+    tokens = searcher.forward_token_table(columns=need)
+    if tokens is None or DEFAULT_LAYERS[subst_attr] not in tokens.columns:
+        raise NotImplementedError(
+            "collocation store needs the forward_layers store — build "
+            "with index.build.build_conllu_index(store_docstore=True)")
+    spark = searcher.spark
+    nparts = n_partitions or spark.sparkContext.defaultParallelism
+    # every relation branch re-reads the token table — materialize the
+    # posexplode ONCE (69 branches × a re-explode otherwise)
+    tokens = tokens.persist()
+    cols = tokens.columns
+    capture = tuple(dict.fromkeys((subst_attr, colloc_attr)))
+    parts = []
+    for rel in rels:
+        items = parse_cql(rel.pattern)
+        token_items = [it for it in items if isinstance(it, TokenItem)]
+        labels = {it.label for it in token_items if it.label}
+        if rel.dual and "2" not in labels:
+            # dual: the pattern IS the collocate constraint; the head
+            # side is EVERY token (the all-heads generalization of the
+            # per-head filter), within default_slop either side
+            citem = token_items[rel.head_position - 1]
+            hsel = ["doc_id", F.col("pos").alias("hp"),
+                    _resolve_col(subst_attr, cols).alias("head")]
+            csel = ["doc_id", F.col("pos").alias("cp"),
+                    _resolve_col(colloc_attr, cols).alias("colloc")]
+            if within_sentence:
+                hsel.append(F.col("sent_no").alias("hs"))
+                csel.append(F.col("sent_no").alias("cs"))
+            heads = tokens.select(*hsel)
+            collocs = tokens.filter(_item_predicate(citem, cols)) \
+                .select(*csel)
+            pairs = (heads.join(collocs, "doc_id")
+                     .filter(F.abs(F.col("cp") - F.col("hp"))
+                             .between(1, rel.default_slop)))
+            if within_sentence:
+                pairs = pairs.filter(F.col("hs") == F.col("cs"))
+            pairs = pairs.select("doc_id", "hp", "cp", "head",
+                                 "colloc").distinct()
+        else:
+            matches = compile_cql(tokens, items, keep_terms=False,
+                                  capture_attrs=capture,
+                                  within_sentence=within_sentence)
+            pairs = matches.select(
+                "doc_id", F.col("pos_1").alias("hp"),
+                F.col("pos_2").alias("cp"),
+                F.col(f"{subst_attr}_1").alias("head"),
+                F.col(f"{colloc_attr}_2").alias("colloc")).distinct()
+        parts.append(pairs.select(F.lit(rel.id).alias("relation"),
+                                  "head", "colloc"))
+    all_pairs = parts[0]
+    for p in parts[1:]:
+        all_pairs = all_pairs.unionByName(p)
+    try:
+        (
+            all_pairs.groupBy("relation", "head", "colloc")
+            .agg(F.count("*").alias("pair_freq"))
+            # range-partition + sort by head: a per-head serve prunes
+            # to a few row groups via parquet min/max stats
+            .repartitionByRange(nparts, "head")
+            .sortWithinPartitions("head", "relation", "colloc")
+            .write.mode("overwrite").parquet(str(out))
+        )
+    finally:
+        tokens.unpersist()
+    meta_path.write_text(json.dumps(meta, sort_keys=True))
+    return out
+
+
+def open_collocation_store(searcher) -> DataFrame | None:
+    """The store DataFrame, or None when never built."""
+    out = Path(searcher.root) / STORE_DIR
+    if not (out / META_NAME).exists():
+        return None
+    return searcher.spark.read.parquet(str(out))
+
+
+def store_meta(searcher) -> dict | None:
+    p = Path(searcher.root) / STORE_DIR / META_NAME
+    if not p.exists():
+        return None
+    return json.loads(p.read_text())
+
+
+def _applicable_rel_ids(catalog: GrammarCatalog, head_pos: str | None,
+                        relation_types: tuple[str, ...]) -> list[str]:
+    rels = _store_rels(catalog, relation_types)
+    if head_pos is not None:
+        rels = [r for r in rels if pattern_pos_group(r) == head_pos]
+    return [r.id for r in rels]
+
+
+def sketch_from_store(
+    searcher,
+    head: str,
+    catalog: GrammarCatalog,
+    head_pos: str | None = None,
+    colloc_attr: str = "lemma",
+    limit_per_relation: int = 10,
+    min_logdice: float = 0.0,
+    round_dp: int | None = None,
+    relation_types: tuple[str, ...] = ("SURFACE",),
+) -> DataFrame:
+    """Full word sketch served FROM THE STORE as a plan: pruned
+    per-head scan → shared scoring tail. Row-identical to
+    ``plans.relations.word_sketch_patterns`` /
+    ``query.sketch.index_word_sketch`` for the same arguments (the
+    pair counts are the same aggregate, materialized early)."""
+    from ..query.sketch import layer_stats_df
+
+    store = open_collocation_store(searcher)
+    if store is None:
+        raise NotImplementedError(
+            "no collocation store at this root — "
+            "index.colloc_store.build_collocation_store")
+    meta = store_meta(searcher)
+    if meta["colloc_attr"] != colloc_attr:
+        raise ValueError(
+            f"store materialized colloc_attr={meta['colloc_attr']!r}, "
+            f"requested {colloc_attr!r}")
+    rel_ids = _applicable_rel_ids(catalog, head_pos, relation_types)
+    grouped = store.filter(
+        (F.col("head") == head) & F.col("relation").isin(rel_ids)
+    ).select("relation", F.col("colloc").alias("colloc_term"),
+             "pair_freq")
+    stats = layer_stats_df(searcher, DEFAULT_LAYERS[colloc_attr])
+    return score_ranked_collocates(
+        grouped, stats, head, limit_per_relation=limit_per_relation,
+        min_logdice=min_logdice, round_dp=round_dp)
+
+
+def serve_sketch_cached(
+    searcher,
+    head: str,
+    catalog: GrammarCatalog,
+    head_pos: str | None = None,
+    colloc_attr: str = "lemma",
+    limit_per_relation: int = 10,
+    min_logdice: float = 0.0,
+    round_dp: int | None = None,
+    relation_types: tuple[str, ...] = ("SURFACE",),
+) -> list[tuple[str, str, int, float, float]]:
+    """Interactive store serve: first call per head = ONE pruned scan
+    (head-sorted parquet → a few row groups) cached on the searcher;
+    warm calls score in pure python from the cache + the cached
+    ``layer_cf`` dictionary — the reference's 0–1 ms preloaded-store
+    regime (``CLAUDE.md:190-196``). Result rows identical to
+    :func:`sketch_from_store` (same counts, same scoring, same order:
+    logdice desc, colloc asc, capped per relation)."""
+    from ..query.sketch import _logdice, _round
+
+    cache = getattr(searcher, "_colloc_store_cache", None)
+    if cache is None:
+        cache = searcher._colloc_store_cache = {}
+    rows = cache.get(head)
+    if rows is None:
+        store = open_collocation_store(searcher)
+        if store is None:
+            raise NotImplementedError(
+                "no collocation store at this root — "
+                "index.colloc_store.build_collocation_store")
+        rows = [(r["relation"], r["colloc"], int(r["pair_freq"]))
+                for r in store.filter(F.col("head") == head)
+                .select("relation", "colloc", "pair_freq").collect()]
+        if len(cache) >= 1024:
+            cache.pop(next(iter(cache)))
+        cache[head] = rows
+    meta = store_meta(searcher)
+    if meta and meta["colloc_attr"] != colloc_attr:
+        raise ValueError(
+            f"store materialized colloc_attr={meta['colloc_attr']!r}, "
+            f"requested {colloc_attr!r}")
+    rel_ids = set(_applicable_rel_ids(catalog, head_pos, relation_types))
+    layer = DEFAULT_LAYERS[colloc_attr]
+    cf = searcher.layer_cf(layer,
+                           sorted({c for _, c, _ in rows}) + [head])
+    head_cf = cf.get(head, 0)
+    if head_cf == 0:
+        return []
+    by_rel: dict[str, list] = {}
+    for rel_id, colloc, fab in rows:
+        if rel_id not in rel_ids:
+            continue
+        fb = cf.get(colloc)
+        if fb is None:
+            continue
+        ld = _round(_logdice(fab, head_cf, fb), round_dp)
+        if ld < min_logdice:
+            continue
+        rf = _round(fab / head_cf, round_dp)
+        by_rel.setdefault(rel_id, []).append((colloc, fab, ld, rf))
+    out = []
+    for rel_id in sorted(by_rel):
+        scored = sorted(by_rel[rel_id], key=lambda r: (-r[2], r[0]))
+        out.extend((rel_id, *row)
+                   for row in scored[:limit_per_relation])
+    return out

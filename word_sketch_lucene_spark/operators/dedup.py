@@ -479,9 +479,15 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.8,
         _capped_shingles(docs, shingle_n, text_col, id_col, max_shingle_df,
                          hashed=shingle_hash))
     # signatures + sizes in ONE kernel pass; persisted because both the
-    # banded candidate join and the sizes lookups read it
+    # banded candidate join and the sizes lookups read it. With
+    # shingle_hash=False the shingle column is the raw STRING — the
+    # numpy permutation kernel needs a 64-bit key, so hash it here
+    # (verify still joins on the string; signatures estimate the same
+    # Jaccard because xxhash64 is injective up to hash collisions).
+    key = (F.col("shingle") if dict(sh.dtypes)["shingle"] == "bigint"
+           else F.xxhash64("shingle"))
     sigs = persist_tracked(minhash_signatures(
-        sh.select("doc_id", F.col("shingle").alias("h")), num_hashes, seed))
+        sh.select("doc_id", key.alias("h")), num_hashes, seed))
     cand = _banded_candidates(sigs, num_hashes, bands)
     sizes = sigs.select("doc_id", "size")
     shared = (

@@ -381,11 +381,22 @@ def _resolve_col(attr: str, columns: list[str]) -> Column:
     return F.col(col)
 
 
+# annotation layers where "_" is CoNLL-U's explicit NO-ANNOTATION
+# value (conllu.py col defaults): the index drops it from layer
+# postings (build_layer_postings — one corpus-sized hot posting
+# otherwise), so the DataFrame/forward tiers must agree: positive
+# tests never match "_", negated tests always do. The surface layers
+# (term/word_cs) are exempt — a literal "_" token is a real word.
+_ANNOT_LAYERS = {"lemma", "upos", "xpos", "deprel", "feats", "lemma_cs"}
+
+
 def _test_col(test: AttrTest, col: Column) -> Column:
     if test.is_literal:
         c = col == test.value.replace("\\", "")
     else:
         c = col.rlike(f"^(?:{test.value})$")
+    if DEFAULT_LAYERS.get(test.attr, test.attr) in _ANNOT_LAYERS:
+        c = c & (col != "_")
     return ~c if test.negated else c
 
 

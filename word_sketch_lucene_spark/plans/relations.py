@@ -354,6 +354,30 @@ def word_sketch_patterns(
     # frequencies, min-score filter, per-relation top-k)
     grouped = all_pairs.groupBy("relation", "colloc_term") \
         .agg(F.count("*").alias("pair_freq"))
+    return score_ranked_collocates(
+        grouped, term_stats, head, limit_per_relation=limit_per_relation,
+        min_logdice=min_logdice, round_dp=round_dp)
+
+
+def score_ranked_collocates(
+    grouped: DataFrame,
+    term_stats: DataFrame,
+    head: str,
+    limit_per_relation: int = 10,
+    min_logdice: float = 0.0,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The SHARED sketch scoring tail: ``(relation, colloc_term,
+    pair_freq)`` + a stats dictionary → logDice/rel_freq, min-score
+    filter, per-relation top-k. One implementation serves the live
+    pattern fan-out (:func:`word_sketch_patterns`), the distributed
+    index tier, AND the materialized collocation store
+    (``index.colloc_store``) — score identity between the tiers is by
+    construction, not by parallel maintenance."""
+    from pyspark.sql import Window
+
+    from ..functions.scoring import logdice_expr, rel_freq_expr
+
     head_cf = term_stats.filter(F.col("term") == head).select(
         F.col("cf").alias("head_cf"))
     scored = (

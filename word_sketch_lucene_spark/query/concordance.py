@@ -51,23 +51,30 @@ def index_pattern_concordance(
     page_size: int = 20,
     context: int = 5,
     within_sentence: bool = False,
+    df_budget: int = 500_000,
 ) -> DataFrame:
     """INDEX-side BCQL → KWIC page, end to end off the index artifacts:
-    spans from :meth:`IndexSearcher.pattern_hits_auto` (budgeted — hot
-    patterns run distributed), keyword width from each span's extent,
-    context from the index's own docstore (forward index). The
+    spans from :meth:`IndexSearcher.pattern_spans_df` (budgeted — hot
+    patterns run distributed AS A PLAN), keyword width from each span's
+    extent, context from the index's own docstore (forward index). The
     ``POST /api/bcql`` trace (SURVEY §3.3) without touching the corpus.
     ``within_sentence=True`` excludes matches whose gap crosses a
     sentence boundary (the reference's ``<s>``-span semantics).
+
+    The page window pushes INTO the span plan before anything reaches
+    the driver (``concordance_page``'s orderBy().limit() fuses to
+    TakeOrderedAndProject): a routed-hot pattern with 10⁸ matches
+    collects ≤ ``offset+page_size`` rows — the reference windows hits
+    before its forward-index fetch the same way
+    (``CollocateQueryHelper.java:305-329``).
     """
-    spans = searcher.pattern_hits_auto(pattern,
-                                       within_sentence=within_sentence)
-    spark = searcher.spark
-    hits = spark.createDataFrame(
-        [(int(d), int(s), int(e - s + 1)) for d, s, e in spans],
-        "doc_id long, pos long, kw_len int")
-    docstore = spark.read.parquet(str(searcher.root / "docstore")) \
-        .select("doc_id", "tokens")
+    spans_df = searcher.pattern_spans_df(pattern, df_budget=df_budget,
+                                         within_sentence=within_sentence)
+    hits = spans_df.select(
+        "doc_id", F.col("start").alias("pos"),
+        (F.col("end") - F.col("start") + 1).cast("int").alias("kw_len"))
+    docstore = searcher.spark.read.parquet(
+        str(searcher.root / "docstore")).select("doc_id", "tokens")
     # per-span keyword width: reuse the page machinery with kw_len as a
     # column (slice accepts column lengths)
     page = concordance_page(hits, docstore, offset=offset,

@@ -157,20 +157,28 @@ class IndexSearcher:
     def _budget_insert(self, cache: dict, tag: str, key, value,
                        max_entries: int) -> None:
         """Insert a doc→positions map into one of the two position
-        caches, charging its bytes against the SHARED budget and
-        evicting FIFO (across both caches) while over budget or over
-        the per-cache entry cap. The just-inserted entry is never
-        evicted — a single over-budget working map must still serve the
-        current query."""
+        caches, charging its bytes against the SHARED budget. Eviction
+        is scoped to the pressure source: over the per-cache ENTRY cap,
+        only the inserting cache's oldest entries go (one cache's
+        churn must not flush the other's hot set — a warm-latency
+        hazard, not correctness); over the shared BYTE budget, FIFO
+        across both caches (memory pressure is global). The
+        just-inserted entry is never evicted — a single over-budget
+        working map must still serve the current query."""
         nb = 64
         for arr in value.values():
             nb += int(getattr(arr, "nbytes", 8 * len(arr))) + 64
         bk = (tag, key)
         cache[key] = value
         self._position_cache_bytes[bk] = nb
+        while len(cache) > max_entries:
+            old_key = next(iter(cache))
+            if old_key == key:
+                break
+            cache.pop(old_key)
+            self._position_cache_bytes.pop((tag, old_key), None)
         total = sum(self._position_cache_bytes.values())
-        while (len(cache) > max_entries
-               or total > self.position_cache_budget_bytes):
+        while total > self.position_cache_budget_bytes:
             old = next(iter(self._position_cache_bytes))
             if old == bk:
                 break
@@ -877,6 +885,10 @@ class IndexSearcher:
         distributed."""
         from ..plans.cql import AttrTest
 
+        if rq.source.tests and all(t.negated for t in rq.source.tests):
+            # purely-negative source: the in-driver resolver would need
+            # the corpus-sized position complement — always distributed
+            return True
         dep_tests = list(rq.target.tests) + [AttrTest("deprel", rq.deprel)]
         cost = 0
         capped = False
@@ -945,13 +957,18 @@ class IndexSearcher:
                 .select(*out_cols))
 
     def _relation_matches_distributed(self, rq) -> list[tuple[int, int, int]]:
+        """Materialized match list off the distributed join — one Arrow
+        batch exchange; plan-shaped consumers (collocate counting)
+        use :meth:`relation_join_df` directly and keep aggregation
+        in-plan instead."""
         try:
             df = self.relation_join_df(rq)
         except NotImplementedError:
             return self.relation_matches(rq)
-        rows = df.orderBy("doc_id", "gp", "dp").collect()
-        return [(int(r["doc_id"]), int(r["gp"]), int(r["dp"]))
-                for r in rows]
+        pdf = df.orderBy("doc_id", "gp", "dp").toPandas()
+        return list(zip(pdf["doc_id"].astype(int).tolist(),
+                        pdf["gp"].astype(int).tolist(),
+                        pdf["dp"].astype(int).tolist()))
 
     def pattern_cost(self, pattern: str, max_terms_per_slot: int = 256
                      ) -> tuple[int, bool]:
@@ -1004,6 +1021,65 @@ class IndexSearcher:
             capped = capped or int(row["n"]) > max_terms_per_slot
         return total, capped
 
+    def _pattern_fallback_tokens(self, pattern: str,
+                                 within_sentence: bool):
+        """Column-pruned forward token table able to serve ``pattern``
+        distributed, or ``None`` when the store is absent or lacks a
+        tested layer (the pattern then stays on the capped index path,
+        documented best-effort like the reference's max term
+        expansion)."""
+        from ..plans.cql import (
+            DEFAULT_LAYERS,
+            _steps,
+            effective_test,
+            parse_cql,
+        )
+
+        attrs = {effective_test(t).attr
+                 for st in _steps(parse_cql(pattern))
+                 for t in st.item.tests}
+        # the virtual `class` attr derives from the surface term column
+        need = {"term" if a == "class" else DEFAULT_LAYERS.get(a, a)
+                for a in attrs}
+        if within_sentence:
+            need.add("sent_no")
+        tokens = self.forward_token_table(columns=need)
+        if tokens is not None and not need <= set(tokens.columns):
+            tokens = None
+        return tokens
+
+    def pattern_spans_df(self, pattern: str,
+                         max_terms_per_slot: int = 256,
+                         df_budget: int = 500_000,
+                         within_sentence: bool = False) -> DataFrame:
+        """Pattern spans as a DATAFRAME ``(doc_id, start, end)`` —
+        the plan-shaped twin of :meth:`pattern_hits_auto`. On the
+        distributed route the returned plan never materializes spans on
+        the driver (a hot pattern has O(corpus) matches; consumers push
+        their own window/limit before any collect — see
+        ``query.concordance.index_pattern_concordance``). Under the
+        Σcf budget the in-driver span chain runs and its (bounded)
+        span list is parallelized back — same result shape either way.
+        """
+        from ..plans.cql import compile_cql, strip_within_sentence
+
+        pattern, ws = strip_within_sentence(pattern)
+        within_sentence = within_sentence or ws
+        cost, capped = self.pattern_cost(pattern, max_terms_per_slot)
+        tokens = None
+        if cost > df_budget or capped:
+            tokens = self._pattern_fallback_tokens(pattern,
+                                                   within_sentence)
+        if tokens is not None:
+            return (compile_cql(tokens, pattern, keep_terms=False,
+                                within_sentence=within_sentence)
+                    .select("doc_id", "start", "end"))
+        spans = self.pattern_hits(pattern, max_terms_per_slot,
+                                  within_sentence=within_sentence)
+        return self.spark.createDataFrame(
+            [(int(d), int(s), int(e)) for d, s, e in spans],
+            "doc_id long, start long, end long")
+
     def pattern_hits_auto(self, pattern: str,
                           max_terms_per_slot: int = 256,
                           df_budget: int = 500_000,
@@ -1017,18 +1093,17 @@ class IndexSearcher:
         a distributed DataFrame plan over the forward token table
         instead — same spans, executor-side work, LAYER-complete: every
         attribute with a stored forward layer (term/lemma/upos/xpos/
-        deprel + case variants) routes through the same fallback. Only
-        a pattern testing an attribute the forward store lacks stays on
-        the index path (capped, documented best-effort, like the
-        reference's max term expansion)."""
-        from ..plans.cql import (
-            DEFAULT_LAYERS,
-            _steps,
-            compile_cql,
-            effective_test,
-            parse_cql,
-            strip_within_sentence,
-        )
+        deprel + case variants) routes through the same fallback.
+
+        NOTE the return type is a fully materialized span LIST — right
+        for the in-driver path (bounded by the Σcf budget) and for
+        tests; a routed-hot pattern's spans are O(corpus), so
+        plan-shaped consumers (KWIC pages, collocate counting) should
+        use :meth:`pattern_spans_df` and push their window/limit into
+        the plan instead of collecting everything here. The transfer
+        uses one Arrow batch exchange (``toPandas``), not row-at-a-time
+        ``collect`` — ~5× cheaper at 10⁵⁺ spans."""
+        from ..plans.cql import compile_cql, strip_within_sentence
 
         pattern, ws = strip_within_sentence(pattern)
         within_sentence = within_sentence or ws
@@ -1036,26 +1111,17 @@ class IndexSearcher:
         if cost <= df_budget and not capped:
             return self.pattern_hits(pattern, max_terms_per_slot,
                                      within_sentence=within_sentence)
-        attrs = {effective_test(t).attr
-                 for st in _steps(parse_cql(pattern))
-                 for t in st.item.tests}
-        # the virtual `class` attr derives from the surface term column
-        need = {"term" if a == "class" else DEFAULT_LAYERS.get(a, a)
-                for a in attrs}
-        if within_sentence:
-            need.add("sent_no")
-        tokens = self.forward_token_table(columns=need)
-        if tokens is not None and not need <= set(tokens.columns):
-            tokens = None
+        tokens = self._pattern_fallback_tokens(pattern, within_sentence)
         if tokens is None:
             return self.pattern_hits(pattern, max_terms_per_slot,
                                      within_sentence=within_sentence)
-        rows = (compile_cql(tokens, pattern, keep_terms=False,
-                            within_sentence=within_sentence)
-                .select("doc_id", "start", "end")
-                .orderBy("doc_id", "start", "end").collect())
-        return [(int(r["doc_id"]), int(r["start"]), int(r["end"]))
-                for r in rows]
+        pdf = (compile_cql(tokens, pattern, keep_terms=False,
+                           within_sentence=within_sentence)
+               .select("doc_id", "start", "end")
+               .orderBy("doc_id", "start", "end").toPandas())
+        return list(zip(pdf["doc_id"].astype(int).tolist(),
+                        pdf["start"].astype(int).tolist(),
+                        pdf["end"].astype(int).tolist()))
 
     def search(self, query: str | list[str], k: int = 10, mode: str = "auto"
                ) -> tuple[list[tuple[int, float]], dict]:
