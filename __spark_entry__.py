@@ -488,6 +488,13 @@ def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(d), float(s)) for d, s in rows], "doc_id long, score double")
 
 
+# annotator revision — part of the cached contract-index identity: the
+# stage manifests fingerprint INPUT FILES + build config, but not the
+# in-code annotation rules, so an annotator change (r5: real FEATS
+# values) must relocate the cached roots or they serve stale layers
+_ANNOTATOR_REV = "r5feats1"
+
+
 def _contract_index_root(spark: SparkSession, sf_dir: str):
     """Per-sf cached index dir (stage manifests make re-builds no-ops)."""
     import hashlib
@@ -496,7 +503,8 @@ def _contract_index_root(spark: SparkSession, sf_dir: str):
 
     from word_sketch_lucene_spark.index.build import build_index
 
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    tag = hashlib.sha1(f"{sf_dir}:{_ANNOTATOR_REV}".encode()) \
+        .hexdigest()[:10]
     root = Path(tempfile.gettempdir()) / f"wsl_contract_idx_{tag}"
     # docstore kept: the term forward arrays serve index-side
     # exploration (multiseed_common_index) and the hot-pattern fallback
@@ -510,6 +518,11 @@ CQL_COLLOC_PATTERN = '1:[word="[a-z0-9]+"] []{0,2} 2:[word!="the|a"]'
 # multi-layer index-side pattern: xpos constraints + a negated surface
 # test + a bounded gap, served from layer postings (V9 index path)
 CQL_LAYERS_PATTERN = '[xpos="JJ.*"] []{0,1} [xpos="NN.*" & word!="table"]'
+# FEATS layer end-to-end (r5): UD-style morphology values from the
+# annotator, rendered to CoNLL-U col 6, parsed back, layer-indexed,
+# queried as a BCQL slot (reference conllu-sentences.blf.yaml:18-74
+# indexes feats as a searchable field)
+CQL_FEATS_PATTERN = '[feats="Number=Plur"] []{0,1} [xpos="VB.*"]'
 
 
 def q_cql_hits_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,6 +557,22 @@ def q_cql_layers_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                          input_paths=[f"{sf_dir}/documents.parquet"])
     s = IndexSearcher(spark, root)
     spans = s.pattern_hits(CQL_LAYERS_PATTERN)
+    return spark.createDataFrame(
+        [(int(d), int(a), int(b)) for d, a, b in spans],
+        "doc_id long, start long, end long")
+
+
+def q_cql_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATS-layer BCQL served from the INDEX layer postings: the
+    morphology slot (``[feats="Number=Plur"]``) expands through the
+    feats term dictionary and chains with the xpos slot — the full
+    CoNLL-U col-6 round trip (annotate → render → parse → index →
+    query), oracled against the same first-principles layer CTE as
+    ``cql_layers_index``."""
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    s = IndexSearcher(spark, _contract_conllu_index_root(spark, sf_dir))
+    spans = s.pattern_hits(CQL_FEATS_PATTERN)
     return spark.createDataFrame(
         [(int(d), int(a), int(b)) for d, a, b in spans],
         "doc_id long, start long, end long")
@@ -623,7 +652,8 @@ def _contract_conllu_index_root(spark: SparkSession, sf_dir: str):
 
     from word_sketch_lucene_spark.index.build import build_conllu_index
 
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    tag = hashlib.sha1(f"{sf_dir}:{_ANNOTATOR_REV}".encode()) \
+        .hexdigest()[:10]
     root = Path(tempfile.gettempdir()) / f"wsl_contract_cidx_{tag}"
     key = str(root)
     if key not in _CONLLU_IDX_CACHE:
@@ -648,6 +678,32 @@ def q_word_sketch_index_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_word_sketch_distributed(
         s, SKETCH_HEAD, _en_catalog(), head_pos="NOUN",
         limit_per_relation=10, round_dp=4)
+
+
+_COLLOC_STORE_CACHE: dict[str, bool] = {}
+
+
+def q_word_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 word sketch served from the MATERIALIZED collocation store
+    (the reference's precomputed ``collocations.bin`` tier,
+    ``CLAUDE.md:190-196``): build-time all-heads pair counts →
+    pruned per-head scan → shared scoring tail. Hash-identical to
+    ``word_sketch_conllu`` by construction — same counting unit, same
+    stats, same ranking — proving the store IS the live aggregate."""
+    from word_sketch_lucene_spark.index.colloc_store import (
+        build_collocation_store,
+        sketch_from_store,
+    )
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    root = _contract_conllu_index_root(spark, sf_dir)
+    s = IndexSearcher(spark, root)
+    if str(root) not in _COLLOC_STORE_CACHE:
+        build_collocation_store(s, _en_catalog())
+        _COLLOC_STORE_CACHE[str(root)] = True
+    return sketch_from_store(s, SKETCH_HEAD, _en_catalog(),
+                             head_pos="NOUN", limit_per_relation=10,
+                             round_dp=4)
 
 
 def q_cql_deprel_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -712,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_sketch_conllu": q_word_sketch_conllu,
         "word_sketch_dep_conllu": q_word_sketch_dep_conllu,
         "word_sketch_index_dist": q_word_sketch_index_dist,
+        "word_sketch_store": q_word_sketch_store,
         "cql_deprel": q_cql_deprel,
         "cql_deprel_index": q_cql_deprel_index,
         "multiseed_common": q_multiseed_common,
@@ -725,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cql_hits": q_cql_hits,
         "cql_hits_index": q_cql_hits_index,
         "cql_layers_index": q_cql_layers_index,
+        "cql_feats": q_cql_feats,
         "cql_collocates": q_cql_collocates,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -767,6 +825,8 @@ def oracle_sql() -> dict[str, str]:
             relation_types=("DEP",)),
         "word_sketch_index_dist": osql.sql_word_sketch_conllu(
             SKETCH_HEAD, _en_catalog(), head_pos="NOUN", k_per_relation=10),
+        "word_sketch_store": osql.sql_word_sketch_conllu(
+            SKETCH_HEAD, _en_catalog(), head_pos="NOUN", k_per_relation=10),
         "cql_deprel": osql.sql_dep_sketch_conllu("scan", "nsubj"),
         "cql_deprel_index": osql.sql_dep_sketch_conllu("scan", "nsubj"),
         "multiseed_common": osql.sql_multiseed_common(SEEDS, 1, 2, 50, 2),
@@ -785,6 +845,7 @@ def oracle_sql() -> dict[str, str]:
                                                 spans_only=True),
         "cql_layers_index": osql.sql_pattern_spans_conllu(
             CQL_LAYERS_PATTERN),
+        "cql_feats": osql.sql_pattern_spans_conllu(CQL_FEATS_PATTERN),
         "cql_collocates": osql.sql_pattern_collocates(
             CQL_COLLOC_PATTERN, "spark", k=20),
         "dedup_exact": osql.sql_exact_dup_groups(),
@@ -804,6 +865,10 @@ def oracle_sql() -> dict[str, str]:
             max_hamming=6, shingle_n=2),
         "lsh_cosine_topk": osql.sql_lsh_cosine_topk(
             [0, 1, 2], k=10, n_planes=6, seed=5),
-        # media_meta: synthetic binary payloads parsed by an Arrow
-        # kernel — rows-only by design (python oracle in tests/)
+        # media_meta: Spark GENERATES binary payloads and PARSES the
+        # headers back; the oracle derives the expected fields in
+        # closed form from the same seeded splitmix64 streams (pure
+        # SQL, HUGEINT wrap arithmetic) — the parse round-trip is what
+        # the hash match proves
+        "media_meta": osql.sql_media_meta(200, seed=3),
     }

@@ -207,7 +207,41 @@ def bench_index_sketch(spark) -> dict:
                           "spans": len(spans),
                           "kwic_page_sec": round(min(kwic_walls), 3),
                           "kwic_driver_rows": len(page)}
+        # materialized collocation store: one-time build cost, then the
+        # preloaded-store serving regime (reference collocations.bin:
+        # 0-1 ms warm) — first serve = one pruned scan, warm = pure
+        # driver scoring from the per-head cache
+        from word_sketch_lucene_spark.index.colloc_store import (
+            build_collocation_store,
+            serve_sketch_cached,
+        )
+
+        t0 = time.perf_counter()
+        build_collocation_store(s, cat)
+        store_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rows0 = serve_sketch_cached(s, "table", cat, head_pos="NOUN",
+                                    limit_per_relation=20, round_dp=4)
+        store_first_ms = 1000 * (time.perf_counter() - t0)
+        store_warm = {}
+        for head in ("table", "row", "join"):
+            serve_sketch_cached(s, head, cat, limit_per_relation=20,
+                                round_dp=4)  # prime the head cache
+            walls = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                r = serve_sketch_cached(s, head, cat,
+                                        limit_per_relation=20,
+                                        round_dp=4)
+                walls.append(time.perf_counter() - t0)
+            store_warm[head] = {"ms": round(1000 * min(walls), 3),
+                                "rows": len(r)}
         return {"build_sec": round(min(builds), 3),
+                "colloc_store": {
+                    "build_sec": round(store_build, 3),
+                    "first_serve_ms": round(store_first_ms, 1),
+                    "first_serve_rows": len(rows0),
+                    "warm": store_warm},
                 "build_all_runs_sec": [round(b, 3) for b in builds],
                 "n_surface_relations": len([r for r in cat.surface()
                                             if r.pattern]),

@@ -6,7 +6,8 @@ row count, column set, and order-insensitive values (exact for
 ints/strings, 4 dp for floats — stricter than a hash mismatch report
 because it prints the first differing rows).
 
-Usage: python scripts/check_contract.py [sf_dir]
+Usage: python scripts/check_contract.py [sf_dir] [q1,q2,...]
+(the optional second arg restricts to a comma-separated query subset)
 """
 
 from __future__ import annotations
@@ -32,7 +33,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None) -> int:
     import __spark_entry__ as entrymod
     from word_sketch_lucene_spark.session import get_spark
 
@@ -44,6 +45,8 @@ def main(sf_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
     failures = 0
     for name, fn in qs.items():
         sdf = fn(spark, sf_dir).toPandas()
@@ -80,4 +83,5 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+                  set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None))

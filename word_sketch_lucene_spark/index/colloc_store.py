@@ -140,26 +140,31 @@ def build_collocation_store(
                              .between(1, rel.default_slop)))
             if within_sentence:
                 pairs = pairs.filter(F.col("hs") == F.col("cs"))
-            pairs = pairs.select("doc_id", "hp", "cp", "head",
-                                 "colloc").distinct()
+            pairs = pairs.select("doc_id", "hp", "cp", "head", "colloc")
         else:
             matches = compile_cql(tokens, items, keep_terms=False,
                                   capture_attrs=capture,
-                                  within_sentence=within_sentence)
+                                  within_sentence=within_sentence,
+                                  distinct=False)
             pairs = matches.select(
                 "doc_id", F.col("pos_1").alias("hp"),
                 F.col("pos_2").alias("cp"),
                 F.col(f"{subst_attr}_1").alias("head"),
-                F.col(f"{colloc_attr}_2").alias("colloc")).distinct()
+                F.col(f"{colloc_attr}_2").alias("colloc"))
         parts.append(pairs.select(F.lit(rel.id).alias("relation"),
-                                  "head", "colloc"))
+                                  "doc_id", "hp", "cp", "head",
+                                  "colloc"))
     all_pairs = parts[0]
     for p in parts[1:]:
         all_pairs = all_pairs.unionByName(p)
     try:
         (
+            # one count-distinct aggregate dedups every branch (head/
+            # colloc are functionally determined by (doc, hp)/(doc,
+            # cp)) — no per-relation distinct shuffles
             all_pairs.groupBy("relation", "head", "colloc")
-            .agg(F.count("*").alias("pair_freq"))
+            .agg(F.count_distinct("doc_id", "hp", "cp")
+                 .alias("pair_freq"))
             # range-partition + sort by head: a per-head serve prunes
             # to a few row groups via parquet min/max stats
             .repartitionByRange(nparts, "head")

@@ -156,7 +156,8 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
 
 def _capped_shingles(docs: DataFrame, n: int, text_col: str, id_col: str,
                      max_shingle_df: int | None,
-                     hashed: bool | str = False) -> DataFrame:
+                     hashed: bool | str = False,
+                     hot_broadcast: bool = True) -> DataFrame:
     """Shingle table with the hot-shingle document-frequency cap.
 
     A boilerplate shingle shared by 10⁶ docs creates ~10¹² candidate
@@ -167,15 +168,28 @@ def _capped_shingles(docs: DataFrame, n: int, text_col: str, id_col: str,
 
     The raw shingle table (the expensive n-gram string generation) is
     persisted BEFORE the df aggregate: it feeds both the aggregate and
-    the cap join, and without materialization each consumer regenerates
-    every n-gram of the corpus. Caller releases via
+    the cap filter, and without materialization each consumer
+    regenerates every n-gram of the corpus. Caller releases via
     ``caching.release_all()`` after the final action.
+
+    ``hot_broadcast=True`` (default) applies the cap as a broadcast
+    ANTI-join against the HOT-shingle list — the hot set (df > cap) is
+    the small side by construction (≤ shingle_rows/cap distinct
+    values, overwhelmingly boilerplate n-grams), so the shingle table
+    is never shuffled on its key AND keeps its per-doc row locality
+    (which lets the signature kernel skip its own shuffle). At an
+    extreme where the hot list itself outgrows broadcast (≳10⁸ hot
+    shingles), pass ``False`` to restore the shuffle-join cap.
     """
     sh = word_shingles(docs, n, text_col, id_col, hashed=hashed)
     if max_shingle_df is None:
         return sh
     sh = persist_tracked(sh)
     sdf = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    if hot_broadcast:
+        hot = sdf.filter(F.col("sdf") > max_shingle_df).select("shingle")
+        return sh.join(F.broadcast(hot), "shingle", "left_anti") \
+            .select("doc_id", "shingle")
     return (sh.join(sdf.filter(F.col("sdf") <= max_shingle_df), "shingle")
             .select("doc_id", "shingle"))
 
@@ -272,12 +286,21 @@ def make_minhash_udf(num_hashes: int = 64, shingle_n: int = 3, seed: int = 7):
 
 
 def _per_doc_signature_df(shingle_hashes: DataFrame, emit, schema: str,
-                          n_partitions: int | None = None) -> DataFrame:
+                          n_partitions: int | None = None,
+                          doc_local: bool = False) -> DataFrame:
     """Shared run-detection signature pipeline: one doc-keyed shuffle +
     a carry-correct ``mapInPandas`` kernel (the segment writer's batch
     shape — no per-doc pandas group overhead, which matters at 10⁹ docs
     as much as locally). ``emit(docs_sorted, hashes) -> pd.DataFrame``
-    computes signatures for every complete doc run in the batch."""
+    computes signatures for every complete doc run in the batch.
+
+    ``doc_local=True`` skips the shuffle entirely: valid ONLY when the
+    input already has each doc's rows contiguous within one partition
+    — true straight off the per-doc shingle explode (one input row's
+    shingles land in one partition, in order) and preserved by the
+    broadcast-anti-join df cap. The kernel's run detection needs
+    contiguity, not global sort, so the whole signature stage then
+    runs shuffle-free."""
     from collections.abc import Iterator
 
     def _flush(carry_doc: int, carry: list[np.ndarray]) -> pd.DataFrame:
@@ -313,6 +336,8 @@ def _per_doc_signature_df(shingle_hashes: DataFrame, emit, schema: str,
         if carry_doc is not None:
             yield _flush(carry_doc, carry)
 
+    if doc_local:
+        return shingle_hashes.mapInPandas(kernel, schema)
     nparts = (n_partitions
               or shingle_hashes.sparkSession.sparkContext.defaultParallelism)
     return (shingle_hashes
@@ -328,7 +353,8 @@ def _run_starts(docs: np.ndarray) -> np.ndarray:
 
 def minhash_signatures(shingle_hashes: DataFrame, num_hashes: int = 64,
                        seed: int = 7,
-                       n_partitions: int | None = None) -> DataFrame:
+                       n_partitions: int | None = None,
+                       doc_local: bool = False) -> DataFrame:
     """``(doc_id, h:long)`` distinct shingle hashes → ``(doc_id,
     sig:array<long>, size:long)`` MinHash signatures.
 
@@ -358,7 +384,7 @@ def minhash_signatures(shingle_hashes: DataFrame, num_hashes: int = 64,
 
     return _per_doc_signature_df(shingle_hashes, emit,
                                  "doc_id long, sig array<long>, size long",
-                                 n_partitions)
+                                 n_partitions, doc_local=doc_local)
 
 
 def simhash_signatures(shingle_hashes: DataFrame,
@@ -478,28 +504,35 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.8,
     sh = persist_tracked(
         _capped_shingles(docs, shingle_n, text_col, id_col, max_shingle_df,
                          hashed=shingle_hash))
-    # signatures + sizes in ONE kernel pass; persisted because both the
-    # banded candidate join and the sizes lookups read it. With
-    # shingle_hash=False the shingle column is the raw STRING — the
-    # numpy permutation kernel needs a 64-bit key, so hash it here
+    # signatures + sizes in ONE kernel pass, SHUFFLE-FREE: the capped
+    # table keeps the explode's per-doc row locality (broadcast anti-
+    # join cap), so the kernel runs straight over it. Persisted because
+    # both the banded candidate join and the sizes lookups read it.
+    # With shingle_hash=False the shingle column is the raw STRING —
+    # the numpy permutation kernel needs a 64-bit key, so hash it here
     # (verify still joins on the string; signatures estimate the same
     # Jaccard because xxhash64 is injective up to hash collisions).
     key = (F.col("shingle") if dict(sh.dtypes)["shingle"] == "bigint"
            else F.xxhash64("shingle"))
     sigs = persist_tracked(minhash_signatures(
-        sh.select("doc_id", key.alias("h")), num_hashes, seed))
+        sh.select("doc_id", key.alias("h")), num_hashes, seed,
+        doc_local=True))
     cand = _banded_candidates(sigs, num_hashes, bands)
     sizes = sigs.select("doc_id", "size")
+    # verify touches only candidate pairs; n_bands_matched rides the
+    # joins so no re-join with cand is needed. The candidate side is
+    # tiny next to the shingle table → AQE broadcasts it, the shingle
+    # table is never shuffled here either.
     shared = (
-        cand.select("doc_a", "doc_b")
+        cand
         .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
               ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_bands_matched")
         .agg(F.count("*").alias("shared"))
     )
     out = (
-        cand.join(shared, ["doc_a", "doc_b"])
+        shared
         .join(sizes.select(F.col("doc_id").alias("doc_a"),
                            F.col("size").alias("size_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"),

@@ -135,10 +135,21 @@ def rule_annotate(tokens: DataFrame, sent_len: int = 10) -> DataFrame:
         .when(F.col("upos") == "VERB", F.lit("conj"))
         .otherwise(F.lit("dep"))
     )
+    # deterministic FEATS from the xpos tag (UD-style key=value pairs;
+    # "_" = no features, the CoNLL-U empty) — gives the feats layer a
+    # real searchable inventory end to end (index → BCQL [feats=...])
+    feats = (
+        F.when(F.col("xpos") == "NNS", F.lit("Number=Plur"))
+        .when(F.col("xpos") == "NN", F.lit("Number=Sing"))
+        .when(F.col("xpos") == "VB", F.lit("VerbForm=Fin"))
+        .when(F.col("xpos") == "JJ", F.lit("Degree=Pos"))
+        .when(F.col("xpos") == "DT", F.lit("PronType=Art"))
+        .otherwise(F.lit("_"))
+    )
     return base.select(
         "doc_id", "sent_id", "token_id", "word", "lemma", "upos", "xpos",
         F.coalesce(head, F.lit(0)).cast("int").alias("head"),
-        deprel.alias("deprel"))
+        deprel.alias("deprel"), feats.alias("feats"))
 
 
 def dependency_pairs(annotated: DataFrame) -> DataFrame:

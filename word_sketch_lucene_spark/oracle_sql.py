@@ -299,7 +299,7 @@ ORDER BY logdice DESC, dep_term ASC LIMIT {k}
 # layer routing for CoNLL-U oracle CTEs — SQL mirror of plans.cql.DEFAULT_LAYERS
 CONLLU_SQL_LAYERS = {"word": "term", "term": "term", "lemma": "lemma",
                      "upos": "upos", "xpos": "xpos", "deprel": "deprel",
-                     "pos": "upos", "tag": "xpos"}
+                     "pos": "upos", "tag": "xpos", "feats": "feats"}
 
 
 def _conllu_layer_cte(sent_len: int = 10) -> str:
@@ -344,7 +344,13 @@ ann AS (
                         WHEN next_verb IS NOT NULL THEN 'nsubj'
                         ELSE 'dep' END
               WHEN upos = 'VERB' THEN 'conj'
-              ELSE 'dep' END AS deprel
+              ELSE 'dep' END AS deprel,
+         CASE WHEN xpos = 'NNS' THEN 'Number=Plur'
+              WHEN xpos = 'NN' THEN 'Number=Sing'
+              WHEN xpos = 'VB' THEN 'VerbForm=Fin'
+              WHEN xpos = 'JJ' THEN 'Degree=Pos'
+              WHEN xpos = 'DT' THEN 'PronType=Art'
+              ELSE '_' END AS feats
   FROM lwin)
 """.strip()
 
@@ -1073,6 +1079,13 @@ def _cql_test_sql(test, alias: str, layers: dict[str, str] | None = None) -> str
     else:
         v = test.value.replace("'", "''")
         c = f"regexp_matches({col}, '^(?:{v})$')"
+    # "_" no-annotation convention (plans.cql._ANNOT_LAYERS): positive
+    # tests on an annotation layer never match "_", negated always do
+    from .plans.cql import _ANNOT_LAYERS
+
+    layer = (layers or {}).get(test.attr, "term")
+    if layer in _ANNOT_LAYERS:
+        c = f"({c} AND {col} <> '_')"
     return f"NOT ({c})" if test.negated else c
 
 
@@ -1228,4 +1241,62 @@ scored AS (
 SELECT doc_id, round(sum(contrib), 4) AS score
 FROM scored GROUP BY doc_id
 ORDER BY round(sum(contrib), 4) DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
+# ------------------------------------------------------------ media meta
+_SM_ADD = 11400714819323198485   # 0x9E3779B97F4A7C15
+_SM_M1 = 13787848793156543929    # 0xBF58476D1CE4E5B9
+_SM_M2 = 10723151780598845931    # 0x94D049BB133111EB
+
+
+def _sql_wrapmul64(x_expr: str, c: int) -> str:
+    """``(x * c) mod 2⁶⁴`` for HUGEINT ``x`` and a 64-bit constant,
+    via the 32-bit split (a full 64×64 product overflows INT128 —
+    same trick as the minhash permutation oracle)."""
+    b = 1 << 32
+    lo, hi = c % b, c >> 32
+    x = f"({x_expr})"
+    return (f"(({x} % {b}) * {lo}::HUGEINT"
+            f" + ((({x} % {b}) * {hi}::HUGEINT"
+            f"      + ({x} // {b}) * {lo}::HUGEINT) % {b}) * {b})"
+            f" % {_U64}::HUGEINT")
+
+
+def _sql_splitmix64(x_expr: str) -> str:
+    """splitmix64 from FIRST PRINCIPLES in ANSI-ish DuckDB SQL: adds and
+    multiplies wrap mod 2⁶⁴ via split HUGEINT arithmetic, xor/shift on
+    UBIGINT (no overflow there) — the same public-constant mixer the
+    generators use (``sources.pages._splitmix64``)."""
+    u64 = f"{_U64}::HUGEINT"
+    z0 = f"((({x_expr})::HUGEINT + {_SM_ADD}::HUGEINT) % {u64})"
+    z1 = f"xor(({z0})::UBIGINT, ({z0})::UBIGINT >> 30)"
+    z2 = f"({_sql_wrapmul64(f'({z1})::HUGEINT', _SM_M1)})"
+    z3 = f"xor(({z2})::UBIGINT, ({z2})::UBIGINT >> 27)"
+    z4 = f"({_sql_wrapmul64(f'({z3})::HUGEINT', _SM_M2)})"
+    return f"xor(({z4})::UBIGINT, ({z4})::UBIGINT >> 31)"
+
+
+def sql_media_meta(n: int = 200, seed: int = 3) -> str:
+    """Expected metadata of the synthetic media table, derived
+    INDEPENDENTLY in SQL: the Spark side generates binary payloads
+    (``operators.multimodal.generate_media``: header = magic +
+    width/height/channels little-endian + body) and PARSES the headers
+    back with the Arrow kernel; this oracle computes the closed-form
+    field values from the same seeded splitmix64 streams — the parse
+    round-trip is what the comparison proves. bytes = 17-byte header +
+    body_len; every generated payload is valid."""
+    sm1 = _sql_splitmix64("xor(b, 1::UBIGINT)")
+    sm2 = _sql_splitmix64("xor(b, 2::UBIGINT)")
+    sm3 = _sql_splitmix64("xor(b, 3::UBIGINT)")
+    return f"""
+WITH ids AS (SELECT i::UBIGINT AS i FROM range(0, {n}) t(i)),
+base AS (SELECT i, xor(({seed}::UBIGINT << 32), i) AS b FROM ids)
+SELECT i::BIGINT AS media_id,
+       (({sm1}) % 512 + 16)::INTEGER AS width,
+       (({sm2}) % 512 + 16)::INTEGER AS height,
+       3::INTEGER AS channels,
+       (17 + ({sm3}) % 256)::BIGINT AS bytes,
+       TRUE AS valid
+FROM base ORDER BY media_id
 """.strip()

@@ -414,6 +414,7 @@ def compile_cql(
     keep_terms: bool = True,
     capture_attrs: tuple[str, ...] = (),
     within_sentence: bool = False,
+    distinct: bool = True,
 ) -> DataFrame:
     """Compile a pattern to the DataFrame of its matches.
 
@@ -435,6 +436,11 @@ def compile_cql(
     position-contiguous, so equality of the two END slots' sentence
     ordinals (folded into each positional join) bounds every token
     between them too.
+
+    ``distinct=False`` skips the final dedup SHUFFLE — for callers
+    that aggregate downstream with ``count(DISTINCT ...)`` anyway
+    (the sketch fan-out: 41 relations × a distinct each would be 41
+    shuffles; one count-distinct aggregate replaces them all).
     """
     if isinstance(pattern, str):
         pattern, ws = strip_within_sentence(pattern)
@@ -492,7 +498,8 @@ def compile_cql(
             for a in capture_attrs:
                 out_cols.append(
                     F.col(f"x_{a}_{i}").alias(f"{a}_{st.item.label}"))
-    return cur.select(*out_cols).distinct()
+    out = cur.select(*out_cols)
+    return out.distinct() if distinct else out
 
 
 def find_pattern_hits(tokens: DataFrame, pattern: str) -> DataFrame:

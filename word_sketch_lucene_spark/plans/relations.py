@@ -293,12 +293,14 @@ def word_sketch_patterns(
         tokens = persist_tracked(tokens)
         term_stats = persist_tracked(term_stats)
     cols = tokens.columns
-    # Phase 1: per-relation DISTINCT (doc, head-pos, colloc-pos) match
-    # pairs, unioned with the relation id. Scoring then runs ONCE for
-    # the whole fan-out — one stats join, one head_cf broadcast, one
-    # per-relation top-k window — instead of N stats joins + N limits
-    # (at 10⁸-row vocabularies the stats join is the expensive side;
-    # N relations must not multiply it).
+    # Phase 1: per-relation (doc, head-pos, colloc-pos) match pairs,
+    # RAW (no per-branch distinct — that would be one shuffle per
+    # relation; the phase-2 count(DISTINCT doc,hp,cp) dedups all 41
+    # branches in its single aggregate), unioned with the relation id.
+    # Scoring then runs ONCE for the whole fan-out — one stats join,
+    # one head_cf broadcast, one per-relation top-k window — instead
+    # of N stats joins + N limits (at 10⁸-row vocabularies the stats
+    # join is the expensive side; N relations must not multiply it).
     pair_parts = []
     for rel in rels:
         items = parse_cql(rel.pattern)
@@ -323,8 +325,7 @@ def word_sketch_patterns(
             )
             if within_sentence:
                 pairs = pairs.filter(F.col("hs") == F.col("cs"))
-            pairs = pairs.select("doc_id", "hp", "cp",
-                                 "colloc_term").distinct()
+            pairs = pairs.select("doc_id", "hp", "cp", "colloc_term")
         else:
             pos_n = 0
             for it in items:
@@ -338,22 +339,26 @@ def word_sketch_patterns(
                                            attr=subst_attr)
             capture = (colloc_attr,) if colloc_attr else ()
             matches = compile_cql(tokens, subst, capture_attrs=capture,
-                                  within_sentence=within_sentence)
+                                  within_sentence=within_sentence,
+                                  distinct=False)
             colloc_col = (f"{colloc_attr}_2" if colloc_attr else "term_2")
             pairs = matches.select(
                 "doc_id", F.col("pos_1").alias("hp"),
                 F.col("pos_2").alias("cp"),
-                F.col(colloc_col).alias("colloc_term")).distinct()
+                F.col(colloc_col).alias("colloc_term"))
         pair_parts.append(pairs.select(
-            F.lit(rel.id).alias("relation"), "colloc_term"))
+            F.lit(rel.id).alias("relation"), "doc_id", "hp", "cp",
+            "colloc_term"))
     all_pairs = pair_parts[0]
     for p in pair_parts[1:]:
         all_pairs = all_pairs.unionByName(p)
     # Phase 2: the shared scoring tail (CollocateQueryHelper semantics:
-    # distinct-pair counts, logDice vs the head/collocate collection
-    # frequencies, min-score filter, per-relation top-k)
-    grouped = all_pairs.groupBy("relation", "colloc_term") \
-        .agg(F.count("*").alias("pair_freq"))
+    # distinct-pair counts — ONE count-distinct aggregate dedups every
+    # branch, colloc_term is functionally determined by (doc, cp) —
+    # logDice vs the head/collocate collection frequencies, min-score
+    # filter, per-relation top-k)
+    grouped = all_pairs.groupBy("relation", "colloc_term").agg(
+        F.count_distinct("doc_id", "hp", "cp").alias("pair_freq"))
     return score_ranked_collocates(
         grouped, term_stats, head, limit_per_relation=limit_per_relation,
         min_logdice=min_logdice, round_dp=round_dp)

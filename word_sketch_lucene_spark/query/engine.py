@@ -153,6 +153,10 @@ class IndexSearcher:
         # the hot-term working set a serving node would keep pinned.
         self._decoded_cache: dict[str, tuple] = {}
         self.decoded_cache_max = 256
+        # (layer, test-value, literal?) → (Σcf, n_dict_values): the
+        # router's pricing memo — a few ints per distinct test, filled
+        # by batched conditional aggregates (_price_tests)
+        self._cost_cache: dict[tuple, tuple[int, int]] = {}
 
     def _budget_insert(self, cache: dict, tag: str, key, value,
                        max_entries: int) -> None:
@@ -890,6 +894,7 @@ class IndexSearcher:
             # the corpus-sized position complement — always distributed
             return True
         dep_tests = list(rq.target.tests) + [AttrTest("deprel", rq.deprel)]
+        self._price_tests(dep_tests + list(rq.source.tests))  # one batch
         cost = 0
         capped = False
         doc_bounds = []
@@ -979,46 +984,82 @@ class IndexSearcher:
         class-wide layer slot (``[xpos="NN.*"]``) has cf ≈ dl·df, so a
         df-based estimate under-counts it ~100× and keeps corpus-sized
         pulls in the driver. Dictionary-only scans (term_stats /
-        layer_stats aggregates), never postings."""
+        layer_stats aggregates), never postings — and BATCHED: one
+        conditional-aggregate job per dictionary table for the whole
+        pattern's uncached tests, memoized per (layer, test), so a
+        cold 41-relation fan-out prices in a handful of jobs instead
+        of ~2 scheduler round-trips per slot (r4 verdict #5)."""
         from ..plans.cql import _steps, parse_cql, strip_within_sentence
 
         pattern, _ws = strip_within_sentence(pattern)
+        steps = _steps(parse_cql(pattern))
+        self._price_tests([t for st in steps for t in st.item.tests])
         total, capped = 0, False
-        for st in _steps(parse_cql(pattern)):
+        for st in steps:
             t2, c2 = self._tests_cost(st.item.tests, max_terms_per_slot)
             total += t2
             capped = capped or c2
         return total, capped
 
+    def _price_tests(self, tests) -> None:
+        """Fill the (layer, value, literal) → (Σcf, n_values) memo for
+        every test in one conditional-aggregate job per dictionary
+        table (term_stats; layer_stats once for ALL non-term layers)."""
+        from ..plans.cql import DEFAULT_LAYERS, effective_test
+
+        by_src: dict[str, list] = {}
+        for t in tests:
+            t = effective_test(t)
+            layer = DEFAULT_LAYERS.get(t.attr)
+            if layer is None:
+                continue
+            key = (layer, t.value, t.is_literal)
+            if key in self._cost_cache:
+                continue
+            by_src.setdefault("term" if layer == "term" else "layers",
+                              []).append(key)
+        for src_name, keys in by_src.items():
+            keys = list(dict.fromkeys(keys))
+            if src_name == "term":
+                src = self.term_stats.select(
+                    F.col("term").alias("value"),
+                    F.lit("term").alias("layer"), "cf")
+            else:
+                self._require_layers()
+                src = self.layer_stats.select("value", "layer", "cf")
+            aggs = []
+            for i, (layer, value, lit) in enumerate(keys):
+                if lit:
+                    m = F.col("value") == value.replace("\\", "")
+                else:
+                    m = F.col("value").rlike(f"^(?:{value})$")
+                m = m & (F.col("layer") == layer)
+                aggs.append(F.sum(F.when(m, F.col("cf"))).alias(f"s{i}"))
+                aggs.append(F.sum(F.when(m, F.lit(1))).alias(f"n{i}"))
+            row = src.agg(*aggs).collect()[0]
+            if len(self._cost_cache) > 16384:  # a few ints per entry
+                self._cost_cache.clear()
+            for i, key in enumerate(keys):
+                self._cost_cache[key] = (int(row[f"s{i}"] or 0),
+                                         int(row[f"n{i}"] or 0))
+
     def _tests_cost(self, tests, max_terms_per_slot: int
                     ) -> tuple[int, bool]:
         """Σcf + cap flag for one constraint's test list (the per-slot
         kernel of :meth:`pattern_cost`, reused by the relation-query
-        router)."""
+        router) — served from the pricing memo, filled on demand."""
         from ..plans.cql import DEFAULT_LAYERS, effective_test
 
+        self._price_tests(tests)
         total, capped = 0, False
         for t in tests:
             t = effective_test(t)
             layer = DEFAULT_LAYERS.get(t.attr)
             if layer is None:
                 continue
-            if layer == "term":
-                src = self.term_stats.select(
-                    F.col("term").alias("value"), "cf")
-            else:
-                self._require_layers()
-                src = self.layer_stats.filter(
-                    F.col("layer") == layer).select("value", "cf")
-            if t.is_literal:
-                flt = F.col("value") == t.value.replace("\\", "")
-            else:
-                flt = F.col("value").rlike(f"^(?:{t.value})$")
-            row = src.filter(flt).agg(
-                F.count("*").alias("n"),
-                F.sum("cf").alias("scf")).collect()[0]
-            total += int(row["scf"] or 0)
-            capped = capped or int(row["n"]) > max_terms_per_slot
+            scf, n = self._cost_cache[(layer, t.value, t.is_literal)]
+            total += scf
+            capped = capped or n > max_terms_per_slot
         return total, capped
 
     def _pattern_fallback_tokens(self, pattern: str,
