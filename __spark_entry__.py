@@ -520,9 +520,9 @@ CQL_COLLOC_PATTERN = '1:[word="[a-z0-9]+"] []{0,2} 2:[word!="the|a"]'
 CQL_LAYERS_PATTERN = '[xpos="JJ.*"] []{0,1} [xpos="NN.*" & word!="table"]'
 # FEATS layer end-to-end (r5): UD-style morphology values from the
 # annotator, rendered to CoNLL-U col 6, parsed back, layer-indexed,
-# queried as a BCQL slot (reference conllu-sentences.blf.yaml:18-74
-# indexes feats as a searchable field)
-CQL_FEATS_PATTERN = '[feats="Number=Plur"] []{0,1} [xpos="VB.*"]'
+# queried as BCQL slots on BOTH positions (reference
+# conllu-sentences.blf.yaml:18-74 indexes feats as a searchable field)
+CQL_FEATS_PATTERN = '[feats="Number=Sing"] []{0,1} [feats="VerbForm=Fin"]'
 
 
 def q_cql_hits_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,10 +571,15 @@ def q_cql_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cql_layers_index``."""
     from word_sketch_lucene_spark.query.engine import IndexSearcher
 
-    s = IndexSearcher(spark, _contract_conllu_index_root(spark, sf_dir))
+    root = _contract_conllu_index_root(spark, sf_dir)
+    s = IndexSearcher(spark, root)
     spans = s.pattern_hits(CQL_FEATS_PATTERN)
+    # the conllu index assigns DENSE ids (sorted doc_name); map back to
+    # the corpus ids the oracle sees via the index's own doc_names table
+    id2name = {int(r["doc_id"]): int(r["doc_name"]) for r in
+               spark.read.parquet(str(root / "doc_names")).collect()}
     return spark.createDataFrame(
-        [(int(d), int(a), int(b)) for d, a, b in spans],
+        [(id2name[int(d)], int(a), int(b)) for d, a, b in spans],
         "doc_id long, start long, end long")
 
 

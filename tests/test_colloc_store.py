@@ -53,9 +53,10 @@ def test_store_sketch_identical_to_live_fanout(spark, store_index):
     s, cat = store_index
     for head, head_pos, rtypes in (("table", "NOUN", ("SURFACE",)),
                                    ("scan", "VERB", ("DEP",))):
-        want = sorted(index_word_sketch(
+        live = index_word_sketch(
             s, head, cat, head_pos=head_pos, relation_types=rtypes,
-            limit_per_relation=10, round_dp=4))
+            limit_per_relation=10, round_dp=4, use_store=False)
+        want = sorted(live)
         got = sorted(
             (r["relation"], r["colloc_term"], r["pair_freq"],
              r["logdice"], r["rel_freq"])
@@ -63,6 +64,12 @@ def test_store_sketch_identical_to_live_fanout(spark, store_index):
                 s, head, cat, head_pos=head_pos, relation_types=rtypes,
                 limit_per_relation=10, round_dp=4).collect())
         assert got == want and got, (head, head_pos)
+        # use_store="auto" routes to the store and is FULLY identical
+        # (rows AND catalog enumeration order) to the live fan-out
+        auto = index_word_sketch(
+            s, head, cat, head_pos=head_pos, relation_types=rtypes,
+            limit_per_relation=10, round_dp=4)
+        assert auto == live, (head, head_pos)
 
 
 def test_store_cached_serve_identical_and_fast(spark, store_index):

@@ -177,6 +177,7 @@ def build_conllu_index(
     store_docstore: bool = True,
     input_paths: list[str] | None = None,
     id_offset: int = 0,
+    colloc_catalog=None,
 ) -> dict:
     """Full multi-layer index from a parsed CoNLL-U corpus — the
     reference's PRIMARY ingestion (tagger output → BlackLab multi-field
@@ -189,6 +190,12 @@ def build_conllu_index(
     assignment (plus ``id_offset`` — delta builds offset past the base
     index's ids, see ``merge.add_conllu_documents``); the name↔id
     mapping is written to ``<root>/doc_names``.
+
+    ``colloc_catalog``: a ``GrammarCatalog`` — when given, the build
+    additionally materializes the collocation store for it
+    (``index.colloc_store.build_collocation_store``, the reference's
+    build-time ``collocations.bin`` step); ``index_word_sketch`` then
+    auto-serves sketches from the store.
     """
     from ..sources.conllu import layer_tokens
 
@@ -255,6 +262,13 @@ def build_conllu_index(
             )
     finally:
         lt.unpersist()
+    if colloc_catalog is not None:
+        from ..query.engine import IndexSearcher
+        from .colloc_store import build_collocation_store
+
+        build_collocation_store(IndexSearcher(spark, out_dir),
+                                colloc_catalog,
+                                n_partitions=n_partitions)
     return stats
 
 

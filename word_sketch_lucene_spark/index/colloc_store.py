@@ -200,6 +200,28 @@ def _applicable_rel_ids(catalog: GrammarCatalog, head_pos: str | None,
     return [r.id for r in rels]
 
 
+def store_can_serve(searcher, catalog: GrammarCatalog,
+                    subst_attr: str = "lemma", colloc_attr: str = "lemma",
+                    within_sentence: bool = False,
+                    relation_types: tuple[str, ...] = ("SURFACE",)) -> bool:
+    """True when a store at this root was materialized with EXACTLY the
+    configuration this request needs — same substitution/collocate
+    layers and sentence bounding, and every requested relation present
+    with an identical pattern definition (a changed catalog must fall
+    back to the live fan-out, never serve stale counts)."""
+    meta = store_meta(searcher)
+    if (meta is None
+            or meta["subst_attr"] != subst_attr
+            or meta["colloc_attr"] != colloc_attr
+            or bool(meta["within_sentence"]) != bool(within_sentence)):
+        return False
+    stored = {tuple(r) for r in meta["relations"]}
+    want = {(r.id, r.pattern, r.type, r.head_position, r.colloc_position,
+             bool(r.dual), r.default_slop)
+            for r in _store_rels(catalog, relation_types)}
+    return want <= stored
+
+
 def sketch_from_store(
     searcher,
     head: str,
@@ -280,7 +302,8 @@ def serve_sketch_cached(
         raise ValueError(
             f"store materialized colloc_attr={meta['colloc_attr']!r}, "
             f"requested {colloc_attr!r}")
-    rel_ids = set(_applicable_rel_ids(catalog, head_pos, relation_types))
+    rel_order = _applicable_rel_ids(catalog, head_pos, relation_types)
+    rel_ids = set(rel_order)
     layer = DEFAULT_LAYERS[colloc_attr]
     cf = searcher.layer_cf(layer,
                            sorted({c for _, c, _ in rows}) + [head])
@@ -300,8 +323,10 @@ def serve_sketch_cached(
         rf = _round(fab / head_cf, round_dp)
         by_rel.setdefault(rel_id, []).append((colloc, fab, ld, rf))
     out = []
-    for rel_id in sorted(by_rel):
-        scored = sorted(by_rel[rel_id], key=lambda r: (-r[2], r[0]))
+    # CATALOG order (not alphabetical) — the same enumeration
+    # index_word_sketch emits, so the store serve is a drop-in
+    for rel_id in rel_order:
+        scored = sorted(by_rel.get(rel_id, ()), key=lambda r: (-r[2], r[0]))
         out.extend((rel_id, *row)
                    for row in scored[:limit_per_relation])
     return out

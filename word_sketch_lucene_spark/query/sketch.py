@@ -298,6 +298,7 @@ def index_word_sketch(
     relation_types: tuple[str, ...] = ("SURFACE",),
     max_terms_per_slot: int = 256,
     within_sentence: bool = False,
+    use_store: bool | str = "auto",
 ) -> list[tuple[str, str, int, float, float]]:
     """Full word sketch SERVED FROM THE INDEX: every applicable pattern
     relation's ranked collocates —
@@ -305,7 +306,34 @@ def index_word_sketch(
     corpus scan, interactive latency (warm postings/dictionary caches).
     Same fan-out, filters, and counting as
     ``plans.relations.word_sketch_patterns``.
+
+    ``use_store="auto"`` (default): when a MATERIALIZED collocation
+    store exists at this root with a compatible configuration
+    (``index.colloc_store`` — the reference's precomputed
+    ``collocations.bin`` tier), serve from it instead of running the
+    pattern fan-out: one pruned per-head scan on first touch, pure
+    cached scoring after — row-identical output, orders of magnitude
+    cheaper warm. ``False`` forces the live span-chain fan-out;
+    ``True`` requires the store (raises when absent/incompatible).
     """
+    if use_store:
+        from ..index.colloc_store import serve_sketch_cached, store_can_serve
+
+        compatible = store_can_serve(
+            searcher, catalog, subst_attr=subst_attr,
+            colloc_attr=colloc_attr, within_sentence=within_sentence,
+            relation_types=relation_types)
+        if use_store is True and not compatible:
+            raise NotImplementedError(
+                "use_store=True but no compatible collocation store at "
+                "this root — index.colloc_store.build_collocation_store")
+        if compatible:
+            return serve_sketch_cached(
+                searcher, head, catalog, head_pos=head_pos,
+                colloc_attr=colloc_attr,
+                limit_per_relation=limit_per_relation,
+                min_logdice=min_logdice, round_dp=round_dp,
+                relation_types=relation_types)
     rels = [r for r in catalog.relations
             if r.pattern and r.type in relation_types]
     if head_pos is not None:
