@@ -181,6 +181,19 @@ def _capped_shingles(docs: DataFrame, n: int, text_col: str, id_col: str,
     extreme where the hot list itself outgrows broadcast (≳10⁸ hot
     shingles), pass ``False`` to restore the shuffle-join cap.
     """
+    if hashed == "md5le" and max_shingle_df is not None and hot_broadcast:
+        # the md5→reverse-hex→conv chain is ~10× the cost of xxhash64;
+        # cap FIRST on the raw strings (grouping by the string also
+        # matches the SQL oracle exactly — no hash-collision caveat in
+        # the cap set), then hash only the survivors (typically a small
+        # fraction: hot boilerplate shingles dominate row counts)
+        raw = persist_tracked(
+            word_shingles(docs, n, text_col, id_col, hashed=False))
+        hot = (raw.groupBy("shingle").agg(F.count("*").alias("sdf"))
+               .filter(F.col("sdf") > max_shingle_df).select("shingle"))
+        kept = raw.join(F.broadcast(hot), "shingle", "left_anti")
+        return kept.select(
+            "doc_id", md5le64_expr(F.col("shingle")).alias("shingle"))
     sh = word_shingles(docs, n, text_col, id_col, hashed=hashed)
     if max_shingle_df is None:
         return sh

@@ -441,6 +441,15 @@ def compile_cql(
     that aggregate downstream with ``count(DISTINCT ...)`` anyway
     (the sketch fan-out: 41 relations × a distinct each would be 41
     shuffles; one count-distinct aggregate replaces them all).
+
+    Slots carrying a positive LITERAL ``word``/``lemma`` test get a
+    broadcast hint: one surface form's rows are bounded by its
+    collection frequency (the sketch fan-out substitutes the head
+    lemma into every pattern — without the hint each of 41 branches
+    shuffles its full class-wide projections, because Catalyst cannot
+    statically size a filter on cached/exploded input). Once a
+    selective slot has joined, the chained result inherits the hint.
+    A class-wide slot (``[xpos="NN.*"]``) never hints.
     """
     if isinstance(pattern, str):
         pattern, ws = strip_within_sentence(pattern)
@@ -473,7 +482,17 @@ def compile_cql(
                 sel.append(_resolve_col(a, cols).alias(f"x_{a}_{i}"))
         return tokens.filter(_item_predicate(item, cols)).select(*sel)
 
+    def _selective(item: TokenItem) -> bool:
+        # a positive literal surface/lemma test bounds the slot by one
+        # form's cf — the broadcast-safe side of every positional join
+        return any(
+            t.is_literal and not t.negated
+            and DEFAULT_LAYERS.get(effective_test(t).attr)
+            in ("term", "lemma", "word_cs", "lemma_cs")
+            for t in item.tests)
+
     cur = _side(0, steps[0].item)
+    chain_selective = _selective(steps[0].item)
     for i, st in enumerate(steps[1:], start=1):
         nxt = _side(i, st.item)
         prev_p = F.col(f"p{i - 1}")
@@ -486,7 +505,16 @@ def compile_cql(
                    (F.col(f"p{i}") <= prev_p + st.hi)
         if within_sentence:
             cond = cond & (F.col(f"s{i}") == F.col("s0"))
-        cur = cur.join(nxt, cond).drop(f"d{i}", f"s{i}")
+        if chain_selective:
+            # the chained result is bounded by the earlier selective
+            # slot (× window width) — keep it the broadcast side
+            cur = F.broadcast(cur).join(nxt, cond)
+        elif _selective(st.item):
+            cur = cur.join(F.broadcast(nxt), cond)
+            chain_selective = True
+        else:
+            cur = cur.join(nxt, cond)
+        cur = cur.drop(f"d{i}", f"s{i}")
     last = len(steps) - 1
     out_cols = [F.col("d0").alias("doc_id"), F.col("p0").alias("start"),
                 F.col(f"p{last}").alias("end")]
