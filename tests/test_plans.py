@@ -201,3 +201,31 @@ def test_assign_doc_ids_no_global_exchange(spark):
         F.col("id").cast("string").alias("url"))
     plan = _plan(assign_doc_ids(df, "doc_id", order_col="url"))
     assert "SinglePartition" not in plan
+
+
+def test_sketch_fanout_branch_joins_broadcast(spark, docs_small):
+    """r5 plan gate: substituting the head lemma makes one side of every
+    branch join cf-bounded — the compile must hint it broadcast, so the
+    fan-out contains NO sort-merge/shuffled-hash joins of class-wide
+    token projections (each was a full-corpus shuffle per relation)."""
+    from word_sketch_lucene_spark.caching import release_all
+    from word_sketch_lucene_spark.plans.relations import (
+        EN_CATALOG,
+        GrammarCatalog,
+        word_sketch_patterns,
+    )
+
+    toks = explode_tokens(docs_small).select(
+        "doc_id", "pos", "term", F.col("term").alias("lemma"),
+        F.lit("NN").alias("xpos"))
+    stats = toks.groupBy(F.col("lemma").alias("term")).agg(
+        F.count("*").alias("cf"))
+    cat = GrammarCatalog.load(EN_CATALOG)
+    sk = word_sketch_patterns(toks, stats, "table", cat, head_pos="NOUN")
+    plan = _plan(sk)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+    # one count-distinct aggregate dedups every branch — no per-branch
+    # distinct exchanges (41 branches would be 41 shuffles)
+    assert plan.count("Window [") == 1
+    release_all()
