@@ -284,7 +284,12 @@ def serve_sketch_cached(
     cache = getattr(searcher, "_colloc_store_cache", None)
     if cache is None:
         cache = searcher._colloc_store_cache = {}
-    rows = cache.get(head)
+    # key the head rows by the store meta's mtime: a rebuild (changed
+    # catalog) in the same session must not serve the old counts
+    meta_p = Path(searcher.root) / STORE_DIR / META_NAME
+    rev = meta_p.stat().st_mtime_ns if meta_p.exists() else 0
+    key = (head, rev)
+    rows = cache.get(key)
     if rows is None:
         store = open_collocation_store(searcher)
         if store is None:
@@ -296,7 +301,7 @@ def serve_sketch_cached(
                 .select("relation", "colloc", "pair_freq").collect()]
         if len(cache) >= 1024:
             cache.pop(next(iter(cache)))
-        cache[head] = rows
+        cache[key] = rows
     meta = store_meta(searcher)
     if meta and meta["colloc_attr"] != colloc_attr:
         raise ValueError(

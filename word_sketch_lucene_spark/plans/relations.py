@@ -301,51 +301,48 @@ def word_sketch_patterns(
     # one head_cf broadcast, one per-relation top-k window — instead
     # of N stats joins + N limits (at 10⁸-row vocabularies the stats
     # join is the expensive side; N relations must not multiply it).
-    pair_parts = []
+    # FAST path: every plain 2-slot relation (and every dual window
+    # relation) folds into ONE broadcast window join — the head side is
+    # one lemma's rows (cf-bounded), the probe is a single pass over
+    # the token table at the catalog-wide max window, and each
+    # relation's gap/direction/test predicates become a CASE arm
+    # (the proven `word_sketch` single-scan shape, generalized to BCQL
+    # tests). Only 3-slot patterns (copula shapes) stay join branches:
+    # N relations must not cost N broadcast-build stages.
+    fast: list[tuple] = []
+    slow: list = []
     for rel in rels:
-        items = parse_cql(rel.pattern)
-        token_items = [it for it in items if isinstance(it, TokenItem)]
-        labels = {it.label for it in token_items if it.label}
-        if rel.dual and "2" not in labels:
-            citem = token_items[rel.head_position - 1]
-            hsel = ["doc_id", F.col("pos").alias("hp")]
-            csel = ["doc_id", F.col("pos").alias("cp")]
-            if within_sentence:
-                hsel.append(F.col("sent_no").alias("hs"))
-                csel.append(F.col("sent_no").alias("cs"))
-            heads = tokens.filter(
-                _resolve_col(subst_attr, cols) == head).select(*hsel)
-            cterm = _resolve_col(colloc_attr or "word", cols)
-            collocs = tokens.filter(_item_predicate(citem, cols)).select(
-                *csel, cterm.alias("colloc_term"))
-            pairs = (
-                heads.join(collocs, "doc_id")
-                .filter(F.abs(F.col("cp") - F.col("hp"))
-                        .between(1, rel.default_slop))
-            )
-            if within_sentence:
-                pairs = pairs.filter(F.col("hs") == F.col("cs"))
-            pairs = pairs.select("doc_id", "hp", "cp", "colloc_term")
+        shape = _two_slot_shape(rel)
+        if shape is not None:
+            fast.append((rel, shape))
         else:
-            pos_n = 0
-            for it in items:
-                if isinstance(it, TokenItem):
-                    pos_n += 1
-                    if it.label == "1":
-                        break
-            else:
-                raise ValueError(f"no 1: label in pattern of {rel.id}")
-            subst = substitute_at_position(items, head, pos_n,
-                                           attr=subst_attr)
-            capture = (colloc_attr,) if colloc_attr else ()
-            matches = compile_cql(tokens, subst, capture_attrs=capture,
-                                  within_sentence=within_sentence,
-                                  distinct=False)
-            colloc_col = (f"{colloc_attr}_2" if colloc_attr else "term_2")
-            pairs = matches.select(
-                "doc_id", F.col("pos_1").alias("hp"),
-                F.col("pos_2").alias("cp"),
-                F.col(colloc_col).alias("colloc_term"))
+            slow.append(rel)
+    pair_parts = []
+    if fast:
+        pair_parts.append(_fast_window_pairs(
+            tokens, fast, head, subst_attr, colloc_attr, cols,
+            within_sentence=within_sentence))
+    for rel in slow:
+        items = parse_cql(rel.pattern)
+        pos_n = 0
+        for it in items:
+            if isinstance(it, TokenItem):
+                pos_n += 1
+                if it.label == "1":
+                    break
+        else:
+            raise ValueError(f"no 1: label in pattern of {rel.id}")
+        subst = substitute_at_position(items, head, pos_n,
+                                       attr=subst_attr)
+        capture = (colloc_attr,) if colloc_attr else ()
+        matches = compile_cql(tokens, subst, capture_attrs=capture,
+                              within_sentence=within_sentence,
+                              distinct=False)
+        colloc_col = (f"{colloc_attr}_2" if colloc_attr else "term_2")
+        pairs = matches.select(
+            "doc_id", F.col("pos_1").alias("hp"),
+            F.col("pos_2").alias("cp"),
+            F.col(colloc_col).alias("colloc_term"))
         pair_parts.append(pairs.select(
             F.lit(rel.id).alias("relation"), "doc_id", "hp", "cp",
             "colloc_term"))
@@ -362,6 +359,93 @@ def word_sketch_patterns(
     return score_ranked_collocates(
         grouped, term_stats, head, limit_per_relation=limit_per_relation,
         min_logdice=min_logdice, round_dp=round_dp)
+
+
+def _two_slot_shape(rel: RelationConfig):
+    """``(head_item, colloc_item, lo, hi, head_first, dual)`` when the
+    relation folds into the single window join: a plain two-token
+    pattern with 1:/2: labels (``lo..hi`` = the second slot's offset
+    from the first), or a ``dual`` one-constraint window relation.
+    ``None`` → the relation keeps its own join branch (3+ slots,
+    repetition quantifiers)."""
+    from .cql import TokenItem, _steps, has_repetitions, parse_cql
+
+    items = parse_cql(rel.pattern)
+    if has_repetitions(items):
+        return None
+    token_items = [it for it in items if isinstance(it, TokenItem)]
+    labels = {it.label for it in token_items if it.label}
+    if rel.dual and "2" not in labels:
+        citem = token_items[rel.head_position - 1]
+        return (TokenItem([]), citem, 1, rel.default_slop, True, True)
+    if len(token_items) != 2 or not {"1", "2"} <= labels:
+        return None
+    steps = _steps(items)
+    head_first = rel.head_position == 1
+    return (token_items[rel.head_position - 1],
+            token_items[rel.colloc_position - 1],
+            steps[1].lo, steps[1].hi, head_first, False)
+
+
+def _side_pred(item, pref: str, cols: list[str]):
+    """Conjunction of one item's tests over ``{pref}``-aliased columns
+    (the CASE-arm twin of ``plans.cql._item_predicate``)."""
+    from .cql import DEFAULT_LAYERS, _test_col, effective_test
+
+    pred = F.lit(True)
+    for t in item.tests:
+        t = effective_test(t)
+        if t.attr == "class":
+            col = word_class_expr(F.col(f"{pref}.term"))
+        else:
+            name = DEFAULT_LAYERS.get(t.attr, t.attr)
+            if name not in cols:
+                raise ValueError(
+                    f"pattern attribute {t.attr!r} → column {name!r} "
+                    f"not in token table (available: {sorted(cols)})")
+            col = F.col(f"{pref}.{name}")
+        pred = pred & _test_col(t, col)
+    return pred
+
+
+def _fast_window_pairs(tokens, fast, head, subst_attr, colloc_attr,
+                       cols, within_sentence=False):
+    """ONE broadcast window join serving every foldable relation:
+    head side = the substituted lemma's rows, probe = one token-table
+    pass at the max window; per-relation gap/direction/tests are CASE
+    arms exploded into ``(relation, doc_id, hp, cp, colloc_term)``."""
+    from .cql import DEFAULT_LAYERS, _resolve_col
+
+    maxw = max(hi for _r, (_h, _c, _lo, hi, _hf, _d) in fast)
+    h = tokens.filter(_resolve_col(subst_attr, cols) == head).alias("h")
+    c = tokens.alias("c")
+    g = F.col("c.pos") - F.col("h.pos")
+    cond = ((F.col("h.doc_id") == F.col("c.doc_id"))
+            & (g >= -maxw) & (g <= maxw) & (g != 0))
+    if within_sentence:
+        cond = cond & (F.col("h.sent_no") == F.col("c.sent_no"))
+    whens = []
+    for rel, (hitem, citem, lo, hi, head_first, dual) in fast:
+        if dual:
+            arm = F.abs(g).between(1, hi)
+        elif head_first:
+            arm = g.between(lo, hi)
+        else:
+            arm = (-g).between(lo, hi)
+        arm = arm & _side_pred(hitem, "h", cols) \
+            & _side_pred(citem, "c", cols)
+        whens.append(F.when(arm, F.lit(rel.id)))
+    cterm = DEFAULT_LAYERS.get(colloc_attr or "word",
+                               colloc_attr or "word")
+    return (
+        F.broadcast(h).join(c, cond)
+        .select(F.col("h.doc_id").alias("doc_id"),
+                F.col("h.pos").alias("hp"), F.col("c.pos").alias("cp"),
+                F.col(f"c.{cterm}").alias("colloc_term"),
+                F.explode(F.array_compact(F.array(*whens)))
+                .alias("relation"))
+        .select("relation", "doc_id", "hp", "cp", "colloc_term")
+    )
 
 
 def score_ranked_collocates(
