@@ -415,6 +415,7 @@ def compile_cql(
     capture_attrs: tuple[str, ...] = (),
     within_sentence: bool = False,
     distinct: bool = True,
+    selective_broadcast: bool = True,
 ) -> DataFrame:
     """Compile a pattern to the DataFrame of its matches.
 
@@ -449,7 +450,12 @@ def compile_cql(
     shuffles its full class-wide projections, because Catalyst cannot
     statically size a filter on cached/exploded input). Once a
     selective slot has joined, the chained result inherits the hint.
-    A class-wide slot (``[xpos="NN.*"]``) never hints.
+    A class-wide slot (``[xpos="NN.*"]``) never hints. Callers that
+    KNOW a literal slot is corpus-hot (stopword heads at web scale —
+    the index router measures Σcf) pass ``selective_broadcast=False``
+    and the plan falls back to shuffle joins; with no such knowledge
+    the hint stands, because a literal content form's cf is bounded
+    by vocabulary statistics, not corpus size.
     """
     if isinstance(pattern, str):
         pattern, ws = strip_within_sentence(pattern)
@@ -485,7 +491,7 @@ def compile_cql(
     def _selective(item: TokenItem) -> bool:
         # a positive literal surface/lemma test bounds the slot by one
         # form's cf — the broadcast-safe side of every positional join
-        return any(
+        return selective_broadcast and any(
             t.is_literal and not t.negated
             and DEFAULT_LAYERS.get(effective_test(t).attr)
             in ("term", "lemma", "word_cs", "lemma_cs")

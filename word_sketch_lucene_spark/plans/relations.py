@@ -317,11 +317,17 @@ def word_sketch_patterns(
             fast.append((rel, shape))
         else:
             slow.append(rel)
+    # broadcast the head side only while its cf stays executor-safe —
+    # a stopword-grade head at web scale must shuffle instead (one
+    # 1-row stats probe; the same stats table feeds scoring below)
+    hcf = term_stats.filter(F.col("term") == head).select("cf").first()
+    head_hot = hcf is not None and int(hcf["cf"]) > 64_000_000
     pair_parts = []
     if fast:
         pair_parts.append(_fast_window_pairs(
             tokens, fast, head, subst_attr, colloc_attr, cols,
-            within_sentence=within_sentence))
+            within_sentence=within_sentence,
+            broadcast_head=not head_hot))
     for rel in slow:
         items = parse_cql(rel.pattern)
         pos_n = 0
@@ -337,7 +343,8 @@ def word_sketch_patterns(
         capture = (colloc_attr,) if colloc_attr else ()
         matches = compile_cql(tokens, subst, capture_attrs=capture,
                               within_sentence=within_sentence,
-                              distinct=False)
+                              distinct=False,
+                              selective_broadcast=not head_hot)
         colloc_col = (f"{colloc_attr}_2" if colloc_attr else "term_2")
         pairs = matches.select(
             "doc_id", F.col("pos_1").alias("hp"),
@@ -409,7 +416,8 @@ def _side_pred(item, pref: str, cols: list[str]):
 
 
 def _fast_window_pairs(tokens, fast, head, subst_attr, colloc_attr,
-                       cols, within_sentence=False):
+                       cols, within_sentence=False,
+                       broadcast_head=True):
     """ONE broadcast window join serving every foldable relation:
     head side = the substituted lemma's rows, probe = one token-table
     pass at the max window; per-relation gap/direction/tests are CASE
@@ -438,7 +446,7 @@ def _fast_window_pairs(tokens, fast, head, subst_attr, colloc_attr,
     cterm = DEFAULT_LAYERS.get(colloc_attr or "word",
                                colloc_attr or "word")
     return (
-        F.broadcast(h).join(c, cond)
+        (F.broadcast(h) if broadcast_head else h).join(c, cond)
         .select(F.col("h.doc_id").alias("doc_id"),
                 F.col("h.pos").alias("hp"), F.col("c.pos").alias("cp"),
                 F.col(f"c.{cterm}").alias("colloc_term"),

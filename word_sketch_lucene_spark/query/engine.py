@@ -1062,6 +1062,36 @@ class IndexSearcher:
             capped = capped or n > max_terms_per_slot
         return total, capped
 
+    # a broadcast side above this many positions is a driver/executor
+    # memory hazard (~0.5 GB of packed rows) — fall back to shuffle
+    broadcast_slot_max_cf = 64_000_000
+
+    def _selective_broadcast_safe(self, pattern: str) -> bool:
+        """May compile_cql hint literal word/lemma slots broadcast for
+        this pattern? Priced from the dictionary memo (already filled
+        by :meth:`pattern_cost` on this path): every positive literal
+        surface/lemma test must be under the broadcast cf cap — a
+        stopword slot at web scale must shuffle, not broadcast."""
+        from ..plans.cql import (
+            DEFAULT_LAYERS,
+            _steps,
+            effective_test,
+            parse_cql,
+        )
+
+        tests = [t for st in _steps(parse_cql(pattern))
+                 for t in st.item.tests]
+        self._price_tests(tests)
+        for t in tests:
+            t = effective_test(t)
+            layer = DEFAULT_LAYERS.get(t.attr)
+            if (layer in ("term", "lemma", "word_cs", "lemma_cs")
+                    and t.is_literal and not t.negated):
+                scf, _n = self._cost_cache[(layer, t.value, t.is_literal)]
+                if scf > self.broadcast_slot_max_cf:
+                    return False
+        return True
+
     def _pattern_fallback_tokens(self, pattern: str,
                                  within_sentence: bool):
         """Column-pruned forward token table able to serve ``pattern``
@@ -1112,9 +1142,12 @@ class IndexSearcher:
             tokens = self._pattern_fallback_tokens(pattern,
                                                    within_sentence)
         if tokens is not None:
-            return (compile_cql(tokens, pattern, keep_terms=False,
-                                within_sentence=within_sentence)
-                    .select("doc_id", "start", "end"))
+            return (compile_cql(
+                tokens, pattern, keep_terms=False,
+                within_sentence=within_sentence,
+                selective_broadcast=self._selective_broadcast_safe(
+                    pattern))
+                .select("doc_id", "start", "end"))
         spans = self.pattern_hits(pattern, max_terms_per_slot,
                                   within_sentence=within_sentence)
         return self.spark.createDataFrame(
@@ -1156,10 +1189,12 @@ class IndexSearcher:
         if tokens is None:
             return self.pattern_hits(pattern, max_terms_per_slot,
                                      within_sentence=within_sentence)
-        pdf = (compile_cql(tokens, pattern, keep_terms=False,
-                           within_sentence=within_sentence)
-               .select("doc_id", "start", "end")
-               .orderBy("doc_id", "start", "end").toPandas())
+        pdf = (compile_cql(
+            tokens, pattern, keep_terms=False,
+            within_sentence=within_sentence,
+            selective_broadcast=self._selective_broadcast_safe(pattern))
+            .select("doc_id", "start", "end")
+            .orderBy("doc_id", "start", "end").toPandas())
         return list(zip(pdf["doc_id"].astype(int).tolist(),
                         pdf["start"].astype(int).tolist(),
                         pdf["end"].astype(int).tolist()))
