@@ -34,7 +34,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.cql import DEFAULT_LAYERS, TokenItem, parse_cql
+from ..plans.cql import DEFAULT_LAYERS, parse_cql
 from ..plans.relations import (
     GrammarCatalog,
     pattern_pos_group,
@@ -65,12 +65,7 @@ def build_collocation_store(
     head over the index's own forward store. Idempotent per config
     (meta file records the catalog patterns + attrs; a changed catalog
     rebuilds). Returns the store path."""
-    from ..plans.cql import (
-        _item_predicate,
-        _resolve_col,
-        compile_cql,
-        effective_test,
-    )
+    from ..plans.cql import compile_cql, effective_test
 
     rels = _store_rels(catalog, relation_types)
     if not rels:
@@ -108,49 +103,70 @@ def build_collocation_store(
         raise NotImplementedError(
             "collocation store needs the forward_layers store — build "
             "with index.build.build_conllu_index(store_docstore=True)")
+    from ..plans.relations import _side_pred, _two_slot_shape
+
     spark = searcher.spark
     nparts = n_partitions or spark.sparkContext.defaultParallelism
     # every relation branch re-reads the token table — materialize the
-    # posexplode ONCE (69 branches × a re-explode otherwise)
+    # posexplode ONCE
     tokens = tokens.persist()
     cols = tokens.columns
     capture = tuple(dict.fromkeys((subst_attr, colloc_attr)))
-    parts = []
+    # every 2-slot/dual relation folds into ONE all-heads window
+    # self-join (the serving fan-out's single-pass shape, minus the
+    # broadcast: both sides are the corpus here, so the doc-keyed
+    # band join shuffles once for the whole catalog instead of once
+    # per relation); 3-slot patterns keep their compile branches
+    fast: list[tuple] = []
+    slow: list = []
     for rel in rels:
+        shape = _two_slot_shape(rel)
+        (fast.append((rel, shape)) if shape is not None
+         else slow.append(rel))
+    parts = []
+    if fast:
+        maxw = max(hi for _r, (_h, _c, _lo, hi, _hf, _d) in fast)
+        h = tokens.alias("h")
+        c = tokens.alias("c")
+        g = F.col("c.pos") - F.col("h.pos")
+        cond = ((F.col("h.doc_id") == F.col("c.doc_id"))
+                & (g >= -maxw) & (g <= maxw) & (g != 0))
+        if within_sentence:
+            cond = cond & (F.col("h.sent_no") == F.col("c.sent_no"))
+        whens = []
+        for rel, (hitem, citem, lo, hi, head_first, dual) in fast:
+            if dual:
+                arm = F.abs(g).between(1, hi)
+            elif head_first:
+                arm = g.between(lo, hi)
+            else:
+                arm = (-g).between(lo, hi)
+            arm = arm & _side_pred(hitem, "h", cols) \
+                & _side_pred(citem, "c", cols)
+            whens.append(F.when(arm, F.lit(rel.id)))
+        hterm = DEFAULT_LAYERS.get(subst_attr, subst_attr)
+        cterm = DEFAULT_LAYERS.get(colloc_attr, colloc_attr)
+        parts.append(
+            h.join(c, cond)
+            .select(F.col("h.doc_id").alias("doc_id"),
+                    F.col("h.pos").alias("hp"),
+                    F.col("c.pos").alias("cp"),
+                    F.col(f"h.{hterm}").alias("head"),
+                    F.col(f"c.{cterm}").alias("colloc"),
+                    F.explode(F.array_compact(F.array(*whens)))
+                    .alias("relation"))
+            .select("relation", "doc_id", "hp", "cp", "head", "colloc"))
+    for rel in slow:
         items = parse_cql(rel.pattern)
-        token_items = [it for it in items if isinstance(it, TokenItem)]
-        labels = {it.label for it in token_items if it.label}
-        if rel.dual and "2" not in labels:
-            # dual: the pattern IS the collocate constraint; the head
-            # side is EVERY token (the all-heads generalization of the
-            # per-head filter), within default_slop either side
-            citem = token_items[rel.head_position - 1]
-            hsel = ["doc_id", F.col("pos").alias("hp"),
-                    _resolve_col(subst_attr, cols).alias("head")]
-            csel = ["doc_id", F.col("pos").alias("cp"),
-                    _resolve_col(colloc_attr, cols).alias("colloc")]
-            if within_sentence:
-                hsel.append(F.col("sent_no").alias("hs"))
-                csel.append(F.col("sent_no").alias("cs"))
-            heads = tokens.select(*hsel)
-            collocs = tokens.filter(_item_predicate(citem, cols)) \
-                .select(*csel)
-            pairs = (heads.join(collocs, "doc_id")
-                     .filter(F.abs(F.col("cp") - F.col("hp"))
-                             .between(1, rel.default_slop)))
-            if within_sentence:
-                pairs = pairs.filter(F.col("hs") == F.col("cs"))
-            pairs = pairs.select("doc_id", "hp", "cp", "head", "colloc")
-        else:
-            matches = compile_cql(tokens, items, keep_terms=False,
-                                  capture_attrs=capture,
-                                  within_sentence=within_sentence,
-                                  distinct=False)
-            pairs = matches.select(
-                "doc_id", F.col("pos_1").alias("hp"),
-                F.col("pos_2").alias("cp"),
-                F.col(f"{subst_attr}_1").alias("head"),
-                F.col(f"{colloc_attr}_2").alias("colloc"))
+        matches = compile_cql(tokens, items, keep_terms=False,
+                              capture_attrs=capture,
+                              within_sentence=within_sentence,
+                              distinct=False)
+        pairs = matches.select(
+            "doc_id", F.col("pos_1").alias("hp"),
+            F.col("pos_2").alias("cp"),
+            F.col(f"{subst_attr}_1").alias("head"),
+            F.col(f"{colloc_attr}_2").alias("colloc"))
         parts.append(pairs.select(F.lit(rel.id).alias("relation"),
                                   "doc_id", "hp", "cp", "head",
                                   "colloc"))
