@@ -711,6 +711,31 @@ def q_word_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                              round_dp=4)
 
 
+def q_relation_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation-query KWIC off the index artifacts (r5): dependency
+    matches of ``[lemma="scan"] -nsubj-> _`` as concordance lines —
+    governor→dependent keyword span, docstore contexts, deterministic
+    (doc, pos, width) rank; auto-routed like every relation query."""
+    from word_sketch_lucene_spark.query.concordance import (
+        index_relation_concordance,
+    )
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    root = _contract_conllu_index_root(spark, sf_dir)
+    s = IndexSearcher(spark, root)
+    # rank in CORPUS-id space (the index's dense ids are
+    # partition-order-dependent): the doc_names dimension maps before
+    # paging, inside the plan
+    id_map = spark.read.parquet(str(root / "doc_names")).select(
+        "doc_id", F.col("doc_name").cast("long").alias("ext_id"))
+    page = index_relation_concordance(s, '[lemma="scan"] -nsubj-> _',
+                                      page_size=10, context=3,
+                                      doc_id_map=id_map)
+    return page.select("rank", "doc_id", "pos",
+                       F.col("left").alias("left_ctx"), "kw",
+                       F.col("right").alias("right_ctx"))
+
+
 def q_cql_deprel_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The INDEX-SERVED twin of ``cql_deprel`` (deprel postings +
     structural forward arrays, auto-routed to the distributed
@@ -776,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_sketch_store": q_word_sketch_store,
         "cql_deprel": q_cql_deprel,
         "cql_deprel_index": q_cql_deprel_index,
+        "relation_concordance": q_relation_concordance,
         "multiseed_common": q_multiseed_common,
         "multiseed_common_index": q_multiseed_common_index,
         "profile_stats": q_profile_stats,
@@ -834,6 +860,8 @@ def oracle_sql() -> dict[str, str]:
             SKETCH_HEAD, _en_catalog(), head_pos="NOUN", k_per_relation=10),
         "cql_deprel": osql.sql_dep_sketch_conllu("scan", "nsubj"),
         "cql_deprel_index": osql.sql_dep_sketch_conllu("scan", "nsubj"),
+        "relation_concordance": osql.sql_relation_concordance(
+            "scan", "nsubj", page_size=10, context=3),
         "multiseed_common": osql.sql_multiseed_common(SEEDS, 1, 2, 50, 2),
         "multiseed_common_index": osql.sql_multiseed_common(SEEDS, 1, 2,
                                                             50, 2),

@@ -446,3 +446,37 @@ def test_relation_purely_negative_source_auto_routes(spark, conllu_index):
     want = sorted((int(r["doc_id"]), int(r["gp"]), int(r["dp"]))
                   for r in rows)
     assert routed == want and routed
+
+
+def test_index_relation_concordance(spark, conllu_index, monkeypatch):
+    """Relation-query KWIC off index artifacts: keyword covers the
+    governor→dependent span, context from the docstore; the forced
+    distributed route pages inside the plan (no full match collect)
+    and equals the in-driver route's page."""
+    from word_sketch_lucene_spark.query.concordance import (
+        index_relation_concordance,
+    )
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    root, _, _ = conllu_index
+    s = IndexSearcher(spark, root)
+    q = '[lemma="scan"] -nsubj-> _'
+    want = [tuple(r) for r in index_relation_concordance(
+        s, q, page_size=5, context=2, df_budget=10**12).collect()]
+    assert 0 < len(want) <= 5
+    spans = {(d, min(g, p)): max(g, p)
+             for d, g, p in s.relation_matches(q)}
+    for r in want:
+        rank, doc_id, pos, left, kw, right = r
+        end = spans[(doc_id, pos)]
+        assert len(kw.split()) == end - pos + 1
+        assert len(left.split()) <= 2 and len(right.split()) <= 2
+    # distributed route: never materializes the match list driver-side
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("relation KWIC collected the match list")
+
+    monkeypatch.setattr(s, "relation_matches", boom)
+    monkeypatch.setattr(s, "_relation_matches_distributed", boom)
+    got = [tuple(r) for r in index_relation_concordance(
+        s, q, page_size=5, context=2, df_budget=0).collect()]
+    assert got == want

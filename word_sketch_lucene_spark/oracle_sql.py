@@ -1300,3 +1300,76 @@ SELECT i::BIGINT AS media_id,
        TRUE AS valid
 FROM base ORDER BY media_id
 """.strip()
+
+
+def sql_relation_concordance(lemma: str, deprel: str, sent_len: int = 10,
+                             page_size: int = 10, context: int = 3) -> str:
+    """Oracle for ``query.concordance.index_relation_concordance``:
+    dependency matches (the window-rule attachment twin of
+    ``sql_dep_sketch_conllu``) → distinct (doc, span-start, span-width)
+    hits → deterministic global rank (doc, pos, kw_len) → token-sliced
+    KWIC contexts (the ``sql_concordance`` technique)."""
+    wc = _wclass_case("term")
+    return f"""
+WITH {TOKENS_CTE},
+base AS (
+  SELECT doc_id, pos,
+         CAST(pos // {sent_len} AS INT) AS sent_id,
+         CAST(pos % {sent_len} + 1 AS INT) AS token_id,
+         CASE WHEN length(term) > 4 AND term LIKE '%s'
+              THEN substr(term, 1, length(term) - 1) ELSE term END AS lemma,
+         {wc} AS upos
+  FROM tokens),
+win AS (
+  SELECT *,
+         min(CASE WHEN upos = 'NOUN' THEN token_id END) OVER (
+           PARTITION BY doc_id, sent_id ORDER BY token_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_noun,
+         max(CASE WHEN upos = 'VERB' THEN token_id END) OVER (
+           PARTITION BY doc_id, sent_id ORDER BY token_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_verb,
+         min(CASE WHEN upos = 'VERB' THEN token_id END) OVER (
+           PARTITION BY doc_id, sent_id ORDER BY token_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_verb
+  FROM base),
+ann AS (
+  SELECT doc_id, pos, sent_id, token_id, lemma, upos,
+         COALESCE(CASE WHEN upos IN ('DET', 'ADJ') THEN next_noun
+                       WHEN upos = 'NOUN' THEN COALESCE(prev_verb, next_verb)
+                       ELSE token_id - 1 END, 0) AS head,
+         CASE WHEN upos = 'DET' THEN 'det'
+              WHEN upos = 'ADJ' THEN 'amod'
+              WHEN upos = 'NOUN' THEN
+                   CASE WHEN prev_verb IS NOT NULL THEN 'obj'
+                        WHEN next_verb IS NOT NULL THEN 'nsubj'
+                        ELSE 'dep' END
+              WHEN upos = 'VERB' THEN 'conj'
+              ELSE 'dep' END AS deprel
+  FROM win),
+matches AS (
+  SELECT DISTINCT d.doc_id,
+         least(h.pos, d.pos) AS pos,
+         greatest(h.pos, d.pos) - least(h.pos, d.pos) + 1 AS kw_len
+  FROM ann d JOIN ann h
+    ON d.doc_id = h.doc_id AND d.sent_id = h.sent_id
+   AND d.head = h.token_id
+  WHERE d.head > 0 AND d.deprel = '{deprel}' AND h.lemma = '{lemma}'),
+hits AS (
+  SELECT *, row_number() OVER (ORDER BY doc_id, pos, kw_len) AS rank
+  FROM matches),
+dt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents)
+SELECT rank, h.doc_id, pos,
+       array_to_string(toks[greatest(1, pos + 1 - {context}): pos], ' ')
+         AS left_ctx,
+       array_to_string(toks[pos + 1: pos + kw_len], ' ') AS kw,
+       array_to_string(
+         toks[pos + kw_len + 1: least(len(toks), pos + kw_len + {context})],
+         ' ') AS right_ctx
+FROM hits h JOIN dt ON h.doc_id = dt.doc_id
+WHERE rank <= {page_size}
+ORDER BY rank
+""".strip()

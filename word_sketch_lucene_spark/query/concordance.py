@@ -76,11 +76,73 @@ def index_pattern_concordance(
     docstore = searcher.spark.read.parquet(
         str(searcher.root / "docstore")).select("doc_id", "tokens")
     # per-span keyword width: reuse the page machinery with kw_len as a
-    # column (slice accepts column lengths)
+    # column (slice accepts column lengths); kw_len tie-breaks the rank
+    # (two spans may share a start with different ends)
     page = concordance_page(hits, docstore, offset=offset,
                             page_size=page_size, context=context,
-                            kw_len=F.col("kw_len"))
+                            kw_len=F.col("kw_len"),
+                            order_extra=("kw_len",))
     return page
+
+
+def index_relation_concordance(
+    searcher,
+    query,
+    offset: int = 0,
+    page_size: int = 20,
+    context: int = 5,
+    df_budget: int = 500_000,
+    doc_id_map: DataFrame | None = None,
+) -> DataFrame:
+    """BCQL relation query (``SOURCE -deprel-> TARGET``) → KWIC page
+    off the index artifacts — the dependency twin of
+    :func:`index_pattern_concordance` (the reference displays relation
+    matches as concordance lines too). The keyword span covers
+    governor→dependent (either order); match resolution auto-routes
+    like :meth:`IndexSearcher.relation_matches_auto`, and on the
+    distributed route the page window pushes into the join plan
+    before anything reaches the driver.
+
+    ``doc_id_map``: optional ``(doc_id, ext_id)`` dimension (e.g. the
+    index's ``doc_names`` table) — ranks and output use the EXTERNAL
+    ids (a broadcast dimension join before paging; the index's dense
+    ids are partition-order-dependent, so a stable public page must
+    rank in the caller's id space)."""
+    from ..plans.cql import parse_relation_query
+
+    rq = parse_relation_query(query) if isinstance(query, str) else query
+    if rq is None:
+        raise ValueError(f"not a relation query: {query!r}")
+    if searcher.relation_route_distributed(rq, df_budget=df_budget):
+        try:
+            matches = searcher.relation_join_df(rq)
+        except NotImplementedError:
+            matches = None
+    else:
+        matches = None
+    if matches is None:
+        rows = searcher.relation_matches(rq)
+        matches = searcher.spark.createDataFrame(
+            [(int(d), int(g), int(p)) for d, g, p in rows],
+            "doc_id long, gp long, dp long")
+    hits = matches.select(
+        "doc_id",
+        F.least("gp", "dp").alias("pos"),
+        (F.greatest("gp", "dp") - F.least("gp", "dp") + 1)
+        .cast("int").alias("kw_len")).distinct()
+    docstore = searcher.spark.read.parquet(
+        str(searcher.root / "docstore")).select("doc_id", "tokens")
+    if doc_id_map is not None:
+        m = F.broadcast(doc_id_map.select(
+            F.col("doc_id").alias("_did"), F.col("ext_id")))
+        hits = hits.join(m, hits["doc_id"] == m["_did"]) \
+            .select(F.col("ext_id").alias("doc_id"), "pos", "kw_len")
+        docstore = docstore.join(m, docstore["doc_id"] == m["_did"]) \
+            .select(F.col("ext_id").alias("doc_id"), "tokens")
+    return concordance_page(hits, docstore, offset=offset,
+                            page_size=page_size, context=context,
+                            kw_len=F.col("kw_len"),
+                            order_extra=("kw_len",))
 
 
 def concordance_page(
@@ -90,6 +152,7 @@ def concordance_page(
     page_size: int = 20,
     context: int = 5,
     kw_len=1,
+    order_extra: tuple[str, ...] = (),
 ) -> DataFrame:
     """One KWIC page: ``(rank, doc_id, pos, left, kw, right)``.
 
@@ -97,13 +160,20 @@ def concordance_page(
     ``doc_id, pos``); the caller gets the total separately via
     ``hits.count()`` — two actions, same as the reference's
     ``hits.size()`` + window fetch.
+
+    ``order_extra``: additional rank tie-break columns — span-shaped
+    hit sets can contain two DISTINCT hits at the same ``(doc_id,
+    pos)`` with different keyword widths, and ``row_number`` over a
+    tied order is nondeterministic between runs/engines; callers with
+    such hits pass ``("kw_len",)``.
     """
     # Two-phase ranking: a global orderBy().limit() first (fuses into
     # TakeOrderedAndProject — per-partition bounded heaps, no single-
     # partition shuffle of the full hit list), THEN row_number over the
     # ≤ offset+page_size survivors. A bare Window.orderBy would drag
     # every hit of a frequent term into one partition.
-    top = hits.orderBy("doc_id", "pos").limit(offset + page_size)
+    okeys = ["doc_id", "pos", *order_extra]
+    top = hits.orderBy(*okeys).limit(offset + page_size)
     # constant partition key: the input is already bounded to
     # offset+page_size rows by the limit above, so a single-partition
     # window is by construction small. pmod(doc_id, 1) == 0 for every
@@ -111,7 +181,7 @@ def concordance_page(
     # an empty partition spec, which WindowExec mistakes for the
     # unbounded global-window hazard and warns about
     w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))) \
-        .orderBy("doc_id", "pos")
+        .orderBy(*okeys)
     page = (
         top.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") > offset)
