@@ -123,3 +123,28 @@ def test_store_build_idempotent_and_meta_guard(spark, store_index):
         sketch_from_store(s, "table", cat, colloc_attr="xpos")
     with pytest.raises(ValueError):
         serve_sketch_cached(s, "table", cat, colloc_attr="xpos")
+
+
+def test_store_detects_index_content_change(spark, store_index):
+    """The store's meta fingerprints the forward store — after a delta
+    ingest changes index contents, auto-serve must fall back to the
+    live fan-out (never stale counts) and a rebuild must re-run."""
+    import os
+    from pathlib import Path
+
+    from word_sketch_lucene_spark.index.colloc_store import (
+        store_can_serve,
+        store_meta,
+    )
+
+    s, cat = store_index
+    assert store_can_serve(s, cat)
+    part = next(Path(s.root, "forward_layers").glob("part-*"))
+    st = part.stat()
+    os.utime(part, ns=(st.st_atime_ns, st.st_mtime_ns + 10**9))
+    try:
+        assert not store_can_serve(s, cat)
+        assert store_meta(s) is not None  # store exists, just stale
+    finally:
+        os.utime(part, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert store_can_serve(s, cat)  # restored contents serve again

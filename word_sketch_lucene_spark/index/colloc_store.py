@@ -51,6 +51,16 @@ def _store_rels(catalog: GrammarCatalog,
             if r.pattern and r.type in relation_types]
 
 
+def _forward_fingerprint(searcher) -> str:
+    """Cheap lineage of the forward store's CURRENT contents (file
+    listing + sizes + mtimes — the same identity the build manifests
+    use)."""
+    from .manifest import input_fingerprint
+
+    fw = Path(searcher.root) / "forward_layers"
+    return input_fingerprint([str(fw)]) if fw.exists() else "absent"
+
+
 def build_collocation_store(
     searcher,
     catalog: GrammarCatalog,
@@ -77,6 +87,10 @@ def build_collocation_store(
         "subst_attr": subst_attr,
         "colloc_attr": colloc_attr,
         "within_sentence": within_sentence,
+        # index-contents lineage: a delta ingest
+        # (merge.add_conllu_documents) changes forward_layers — the
+        # store must then rebuild, never silently serve stale counts
+        "forward_fp": _forward_fingerprint(searcher),
     }
     out = Path(searcher.root) / STORE_DIR
     meta_path = out / META_NAME
@@ -231,6 +245,8 @@ def store_can_serve(searcher, catalog: GrammarCatalog,
             or meta["colloc_attr"] != colloc_attr
             or bool(meta["within_sentence"]) != bool(within_sentence)):
         return False
+    if meta.get("forward_fp") != _forward_fingerprint(searcher):
+        return False  # index contents changed since the store build
     stored = {tuple(r) for r in meta["relations"]}
     want = {(r.id, r.pattern, r.type, r.head_position, r.colloc_position,
              bool(r.dual), r.default_slop)
