@@ -51,14 +51,24 @@ def _store_rels(catalog: GrammarCatalog,
             if r.pattern and r.type in relation_types]
 
 
-def _forward_fingerprint(searcher) -> str:
+def _forward_fingerprint(searcher, ttl_sec: float = 5.0) -> str:
     """Cheap lineage of the forward store's CURRENT contents (file
     listing + sizes + mtimes — the same identity the build manifests
-    use)."""
+    use). Memoized on the searcher for ``ttl_sec``: the auto-serve
+    path checks per sketch call, and re-statting hundreds of part
+    files per interactive request would dominate the sub-ms serve."""
+    import time
+
     from .manifest import input_fingerprint
 
+    hit = getattr(searcher, "_fw_fp_cache", None)
+    now = time.monotonic()
+    if hit is not None and now - hit[0] < ttl_sec:
+        return hit[1]
     fw = Path(searcher.root) / "forward_layers"
-    return input_fingerprint([str(fw)]) if fw.exists() else "absent"
+    fp = input_fingerprint([str(fw)]) if fw.exists() else "absent"
+    searcher._fw_fp_cache = (now, fp)
+    return fp
 
 
 def build_collocation_store(
@@ -90,7 +100,8 @@ def build_collocation_store(
         # index-contents lineage: a delta ingest
         # (merge.add_conllu_documents) changes forward_layers — the
         # store must then rebuild, never silently serve stale counts
-        "forward_fp": _forward_fingerprint(searcher),
+        # (ttl 0: the BUILD decision must see the live listing)
+        "forward_fp": _forward_fingerprint(searcher, ttl_sec=0),
     }
     out = Path(searcher.root) / STORE_DIR
     meta_path = out / META_NAME
