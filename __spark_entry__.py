@@ -523,6 +523,12 @@ CQL_LAYERS_PATTERN = '[xpos="JJ.*"] []{0,1} [xpos="NN.*" & word!="table"]'
 # queried as BCQL slots on BOTH positions (reference
 # conllu-sentences.blf.yaml:18-74 indexes feats as a searchable field)
 CQL_FEATS_PATTERN = '[feats="Number=Sing"] []{0,1} [feats="VerbForm=Fin"]'
+# BlackLab span-filter operator: sentence spans holding (or, !containing,
+# NOT holding) a full match of the clause — the dual of `within <s/>`
+CQL_CONTAINING_PATTERN = (
+    '<s/> containing [xpos="JJ.*"] []{0,1} [xpos="NN.*" & word!="table"]')
+CQL_NOT_CONTAINING_PATTERN = (
+    '<s/> !containing [upos="NOUN"]')
 
 
 def q_cql_hits_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -581,6 +587,48 @@ def q_cql_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(id2name[int(d)], int(a), int(b)) for d, a, b in spans],
         "doc_id long, start long, end long")
+
+
+def q_cql_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlackLab's ``<s/> containing PATTERN`` span filter on the
+    DataFrame path: sentence extents semi-joined with the distinct
+    sentences holding a full within-sentence match (BlackLab span
+    queries compose the indexed ``<s>`` spans,
+    ``conllu-sentences.blf.yaml:16``, with ``containing``)."""
+    from word_sketch_lucene_spark.plans.cql import (
+        sentence_spans_containing,
+    )
+    from word_sketch_lucene_spark.sources.conllu import layer_tokens
+
+    lt = layer_tokens(_parsed_conllu(spark, sf_dir),
+                      sent_len=CONLLU_SENT_LEN) \
+        .withColumn("doc_id", F.col("doc_id").cast("long"))
+    return (sentence_spans_containing(lt, CQL_CONTAINING_PATTERN)
+            .withColumn("sent_no", F.col("sent_no").cast("long")))
+
+
+def q_cql_not_containing_index(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """``<s/> !containing PATTERN`` served from the INDEX forward
+    layers — the complement anti-join runs as a distributed plan over
+    the index's own forward store (never a driver span list: the
+    complement is O(corpus) sentences)."""
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    root = _contract_conllu_index_root(spark, sf_dir)
+    s = IndexSearcher(spark, root)
+    out = s.sentence_spans_containing(CQL_NOT_CONTAINING_PATTERN)
+    # the conllu index assigns DENSE ids (sorted doc_name); map back to
+    # corpus ids via the index's doc_names table (broadcast: one row
+    # per document NAME, not per token)
+    names = spark.read.parquet(str(root / "doc_names")).select(
+        F.col("doc_id").alias("_idx_id"),
+        F.col("doc_name").cast("long").alias("corpus_doc_id"))
+    return (out.withColumnRenamed("doc_id", "_idx_id")
+            .join(F.broadcast(names), "_idx_id")
+            .select(F.col("corpus_doc_id").alias("doc_id"),
+                    F.col("sent_no").cast("long").alias("sent_no"),
+                    "start", "end"))
 
 
 def q_cql_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -814,6 +862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cql_hits_index": q_cql_hits_index,
         "cql_layers_index": q_cql_layers_index,
         "cql_feats": q_cql_feats,
+        "cql_containing": q_cql_containing,
+        "cql_not_containing_index": q_cql_not_containing_index,
         "cql_collocates": q_cql_collocates,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -879,6 +929,10 @@ def oracle_sql() -> dict[str, str]:
         "cql_layers_index": osql.sql_pattern_spans_conllu(
             CQL_LAYERS_PATTERN),
         "cql_feats": osql.sql_pattern_spans_conllu(CQL_FEATS_PATTERN),
+        "cql_containing": osql.sql_sentence_containing(
+            CQL_CONTAINING_PATTERN, sent_len=CONLLU_SENT_LEN),
+        "cql_not_containing_index": osql.sql_sentence_containing(
+            CQL_NOT_CONTAINING_PATTERN, sent_len=CONLLU_SENT_LEN),
         "cql_collocates": osql.sql_pattern_collocates(
             CQL_COLLOC_PATTERN, "spark", k=20),
         "dedup_exact": osql.sql_exact_dup_groups(),

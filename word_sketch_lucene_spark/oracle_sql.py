@@ -1150,6 +1150,46 @@ WHERE {where}
 """.strip()
 
 
+def sql_sentence_containing(pattern: str, negated: bool = False,
+                            sent_len: int = 10) -> str:
+    """Oracle for ``<s/> [!]containing PATTERN``
+    (``plans.cql.sentence_spans_containing`` and
+    ``IndexSearcher.sentence_spans_containing``): sentence extents
+    [anti-]semi-joined with the distinct sentences holding a full
+    within-sentence match — ``(doc_id, sent_no, start, end)``."""
+    from .plans.cql import strip_containing
+
+    core, mode = strip_containing(pattern)
+    if mode is not None:
+        negated = negated or mode == "not_containing"
+    steps, frm, where = _cql_joins(core, table="ann",
+                                   layers=CONLLU_SQL_LAYERS)
+    sent_conds = " AND ".join(
+        f"t{i}.pos // {sent_len} = t0.pos // {sent_len}"
+        for i in range(1, len(steps)))
+    if sent_conds:
+        where = f"({where}) AND {sent_conds}"
+    return f"""
+WITH {TOKENS_CTE},
+{_conllu_layer_cte(sent_len)},
+sents AS (
+  SELECT doc_id, CAST(pos // {sent_len} AS BIGINT) AS sent_no,
+         min(pos) AS start, max(pos) AS "end"
+  FROM ann GROUP BY doc_id, pos // {sent_len}),
+hits AS (
+  SELECT DISTINCT t0.doc_id AS doc_id,
+         CAST(t0.pos // {sent_len} AS BIGINT) AS sent_no
+  FROM {frm}
+  WHERE {where})
+SELECT s.doc_id AS doc_id, s.sent_no AS sent_no,
+       s.start AS start, s."end" AS "end"
+FROM sents s
+WHERE {"NOT " if negated else ""}EXISTS (
+  SELECT 1 FROM hits h
+  WHERE h.doc_id = s.doc_id AND h.sent_no = s.sent_no)
+""".strip()
+
+
 def sql_pattern_collocates(pattern: str, head: str,
                            head_label: str = "1", colloc_label: str = "2",
                            k: int = 20, relation_id: str | None = None) -> str:

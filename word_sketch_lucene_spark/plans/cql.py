@@ -141,6 +141,25 @@ def strip_within_sentence(pattern: str) -> tuple[str, bool]:
     return pattern, False
 
 
+# BlackLab's span-filter operator: `<s/> containing PATTERN` yields the
+# SENTENCE spans holding at least one full match of PATTERN (and
+# `<s/> !containing PATTERN` its complement) — the dual of `within`:
+# `within` keeps token matches, `containing` produces structure spans.
+_CONTAINING_RE = re.compile(
+    r"^\s*<\s*s\s*/?\s*>\s*(!?)\s*containing\s+", re.IGNORECASE)
+
+
+def strip_containing(pattern: str) -> tuple[str, str | None]:
+    """Split an optional leading ``<s/> [!]containing`` clause off a
+    BCQL string: ``(core_pattern, mode)`` where mode is ``None`` (no
+    clause), ``"containing"`` or ``"not_containing"``."""
+    m = _CONTAINING_RE.match(pattern)
+    if m:
+        mode = "not_containing" if m.group(1) == "!" else "containing"
+        return pattern[m.end():], mode
+    return pattern, None
+
+
 def parse_cql(pattern: str) -> list[TokenItem | GapItem]:
     """Parse a mini-BCQL pattern into an item sequence.
 
@@ -416,6 +435,7 @@ def compile_cql(
     within_sentence: bool = False,
     distinct: bool = True,
     selective_broadcast: bool = True,
+    capture_sent: bool = False,
 ) -> DataFrame:
     """Compile a pattern to the DataFrame of its matches.
 
@@ -457,6 +477,10 @@ def compile_cql(
     the hint stands, because a literal content form's cf is bounded
     by vocabulary statistics, not corpus size.
     """
+    if capture_sent and not within_sentence:
+        raise ValueError("capture_sent=True requires within_sentence="
+                         "True (a cross-sentence match has no single "
+                         "sent_no)")
     if isinstance(pattern, str):
         pattern, ws = strip_within_sentence(pattern)
         within_sentence = within_sentence or ws
@@ -468,7 +492,8 @@ def compile_cql(
         for v in expand_repetitions(items):
             b = compile_cql(tokens, v, keep_terms=keep_terms,
                             capture_attrs=capture_attrs,
-                            within_sentence=within_sentence)
+                            within_sentence=within_sentence,
+                            capture_sent=capture_sent)
             out = b if out is None else out.unionByName(b)
         return out.distinct()
     steps = _steps(items)
@@ -524,6 +549,8 @@ def compile_cql(
     last = len(steps) - 1
     out_cols = [F.col("d0").alias("doc_id"), F.col("p0").alias("start"),
                 F.col(f"p{last}").alias("end")]
+    if capture_sent:
+        out_cols.append(F.col("s0").alias("sent_no"))
     for i, st in enumerate(steps):
         if st.item.label is not None:
             out_cols.append(F.col(f"p{i}").alias(f"pos_{st.item.label}"))
@@ -534,6 +561,50 @@ def compile_cql(
                     F.col(f"x_{a}_{i}").alias(f"{a}_{st.item.label}"))
     out = cur.select(*out_cols)
     return out.distinct() if distinct else out
+
+
+def sentence_spans_containing(tokens: DataFrame,
+                              pattern: str | list[TokenItem | GapItem],
+                              negated: bool = False,
+                              selective_broadcast: bool = True
+                              ) -> DataFrame:
+    """BlackLab's span-filter operator ``<s/> containing PATTERN``:
+    the SENTENCE spans holding at least one full match of ``pattern``
+    (``negated=True`` → ``!containing``, the complement) — the dual of
+    ``within <s/>`` (reference corpus indexes ``<s>`` spans,
+    ``conllu-sentences.blf.yaml:16``; BlackLab span queries compose
+    them with ``containing``/``!containing``).
+
+    Output: ``(doc_id, sent_no, start, end)`` — one row per qualifying
+    sentence, ``start``/``end`` its first/last token position.
+
+    Plan: matches compile within-sentence (a match crossing a sentence
+    boundary is contained in neither sentence), dedup to their
+    ``(doc_id, sent_no)`` keys, then a semi-/anti-join against the
+    sentence-extent aggregate. Both sides shuffle ONCE on the same
+    ``(doc_id, sent_no)`` key (the join is co-partitioned with the
+    aggregate), so the operator is one extra exchange over the bare
+    pattern — no corpus-scale driver state, web-scale safe either way
+    (``!containing`` anti-joins the same key set).
+    """
+    if isinstance(pattern, str):
+        core, mode = strip_containing(pattern)
+        if mode is not None:
+            negated = negated or mode == "not_containing"
+            pattern = core
+    if "sent_no" not in tokens.columns:
+        raise ValueError("containing needs a sent_no column "
+                         "(sources.conllu.layer_tokens emits it)")
+    hit_sents = (compile_cql(tokens, pattern, keep_terms=False,
+                             within_sentence=True, capture_sent=True,
+                             distinct=False,
+                             selective_broadcast=selective_broadcast)
+                 .select("doc_id", "sent_no").distinct())
+    extents = tokens.groupBy("doc_id", "sent_no").agg(
+        F.min("pos").alias("start"), F.max("pos").alias("end"))
+    how = "left_anti" if negated else "left_semi"
+    return (extents.join(hit_sents, ["doc_id", "sent_no"], how)
+            .select("doc_id", "sent_no", "start", "end"))
 
 
 def find_pattern_hits(tokens: DataFrame, pattern: str) -> DataFrame:

@@ -1132,8 +1132,19 @@ class IndexSearcher:
         Σcf budget the in-driver span chain runs and its (bounded)
         span list is parallelized back — same result shape either way.
         """
-        from ..plans.cql import compile_cql, strip_within_sentence
+        from ..plans.cql import (
+            compile_cql,
+            strip_containing,
+            strip_within_sentence,
+        )
 
+        core, mode = strip_containing(pattern)
+        if mode is not None:
+            # span-filter form: sentence spans, same (doc_id, start,
+            # end) shape — KWIC/consumer plumbing works unchanged
+            return (self.sentence_spans_containing(
+                core, negated=mode == "not_containing")
+                .select("doc_id", "start", "end"))
         pattern, ws = strip_within_sentence(pattern)
         within_sentence = within_sentence or ws
         cost, capped = self.pattern_cost(pattern, max_terms_per_slot)
@@ -1153,6 +1164,30 @@ class IndexSearcher:
         return self.spark.createDataFrame(
             [(int(d), int(s), int(e)) for d, s, e in spans],
             "doc_id long, start long, end long")
+
+    def sentence_spans_containing(self, pattern: str,
+                                  negated: bool = False) -> DataFrame:
+        """Index-served ``<s/> [!]containing PATTERN``: sentence spans
+        ``(doc_id, sent_no, start, end)`` holding (or, negated, NOT
+        holding) a full match — the BlackLab span-filter operator over
+        this index's forward-layer store. Always a DataFrame plan
+        (``!containing`` enumerates the corpus's sentence complement,
+        O(corpus) rows — never a driver list)."""
+        from ..plans.cql import sentence_spans_containing, strip_containing
+
+        core, mode = strip_containing(pattern)
+        if mode is not None:
+            negated = negated or mode == "not_containing"
+        tokens = self._pattern_fallback_tokens(core, within_sentence=True)
+        if tokens is None:
+            raise NotImplementedError(
+                "containing needs the forward-layer store (build the "
+                "index with build_conllu_index/build_layer_postings); "
+                "over a plain token table use "
+                "plans.cql.sentence_spans_containing")
+        return sentence_spans_containing(
+            tokens, core, negated=negated,
+            selective_broadcast=self._selective_broadcast_safe(core))
 
     def pattern_hits_auto(self, pattern: str,
                           max_terms_per_slot: int = 256,
@@ -1177,8 +1212,21 @@ class IndexSearcher:
         the plan instead of collecting everything here. The transfer
         uses one Arrow batch exchange (``toPandas``), not row-at-a-time
         ``collect`` — ~5× cheaper at 10⁵⁺ spans."""
-        from ..plans.cql import compile_cql, strip_within_sentence
+        from ..plans.cql import (
+            compile_cql,
+            strip_containing,
+            strip_within_sentence,
+        )
 
+        core, mode = strip_containing(pattern)
+        if mode is not None:
+            pdf = (self.sentence_spans_containing(
+                core, negated=mode == "not_containing")
+                .select("doc_id", "start", "end")
+                .orderBy("doc_id", "start", "end").toPandas())
+            return list(zip(pdf["doc_id"].astype(int).tolist(),
+                            pdf["start"].astype(int).tolist(),
+                            pdf["end"].astype(int).tolist()))
         pattern, ws = strip_within_sentence(pattern)
         within_sentence = within_sentence or ws
         cost, capped = self.pattern_cost(pattern, max_terms_per_slot)
