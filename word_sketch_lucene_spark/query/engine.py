@@ -192,12 +192,27 @@ class IndexSearcher:
                    else self._test_map_cache)
             tgt.pop(old_key, None)
 
+    def _filter_in(self, df: DataFrame, col: str, values: list
+                   ) -> DataFrame:
+        """``df`` restricted to ``col ∈ values``. Small sets inline as
+        literals (the In-filter pushes into the parquet scan); large
+        sets ship as ONE Arrow batch and broadcast-semi-join instead —
+        ``Column.isin`` builds each literal through a py4j round-trip
+        (~1 ms apiece), so a 5k-doc miss set would spend seconds on
+        socket chatter before the job even starts."""
+        if len(values) <= 64:
+            return df.filter(F.col(col).isin(values))
+        import pandas as pd
+
+        ids = self.spark.createDataFrame(pd.DataFrame({col: values}))
+        return df.join(F.broadcast(ids), col, "left_semi")
+
     # -- stats lookups ---------------------------------------------------
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         missing = [t for t in terms if t not in self._df_cache]
         if missing:
             rows = (
-                self.term_stats.filter(F.col("term").isin(missing))
+                self._filter_in(self.term_stats, "term", missing)
                 .select("term", "df").collect()
             )
             found = {r["term"]: int(r["df"]) for r in rows}
@@ -242,7 +257,7 @@ class IndexSearcher:
         if not missing:
             return
         rows = (
-            self.segments.filter(F.col("term").isin(missing))
+            self._filter_in(self.segments, "term", missing)
             .select("term", "seg_part", "block_id", "first_doc", "last_doc",
                     "max_tf", "min_dl", "docs_vb", "tfs_vb", "dls_vb")
             .collect()
@@ -364,7 +379,7 @@ class IndexSearcher:
                 raise NotImplementedError(
                     "index has no forward_layers store — build with "
                     "index.build.build_conllu_index(store_docstore=True)")
-            rows = fw.filter(F.col("doc_id").isin(missing)) \
+            rows = self._filter_in(fw, "doc_id", missing) \
                 .select("doc_id", col).collect()
             found = {int(r["doc_id"]): list(r[col]) for r in rows}
             for d in missing:
@@ -379,14 +394,14 @@ class IndexSearcher:
         missing = [v for v in values if v not in cache]
         if missing:
             if layer == "term":
-                rows = (self.term_stats.filter(F.col("term").isin(missing))
+                rows = (self._filter_in(self.term_stats, "term", missing)
                         .select(F.col("term").alias("value"), "cf")
                         .collect())
             else:
                 self._require_layers()
-                rows = (self.layer_stats
-                        .filter((F.col("layer") == layer)
-                                & F.col("value").isin(missing))
+                rows = (self._filter_in(
+                        self.layer_stats.filter(F.col("layer") == layer),
+                        "value", missing)
                         .select("value", "cf").collect())
             found = {r["value"]: int(r["cf"]) for r in rows}
             for v in missing:
@@ -438,7 +453,7 @@ class IndexSearcher:
         missing = [d for d in doc_ids if d not in self._dl_cache]
         if missing:
             dl = self.spark.read.parquet(str(self.root / "doc_lens"))
-            rows = dl.filter(F.col("doc_id").isin(missing)) \
+            rows = self._filter_in(dl, "doc_id", missing) \
                 .select("doc_id", "dl").collect()
             found = {int(r["doc_id"]): int(r["dl"]) for r in rows}
             for d in missing:
