@@ -47,7 +47,7 @@ def term_stats_posdist(tokens: DataFrame, pos_col: str | None = None
     if pos_col is None:
         from ..plans.relations import word_class_expr
 
-        tokens = tokens.withColumn("_pos_cls", word_class_expr(F.col("term")))
+        tokens = tokens.withColumn("_pos_cls", word_class_expr("term"))
         pos_col = "_pos_cls"
     aggs = [F.countDistinct("doc_id").alias("df"), F.count("*").alias("cf")]
     aggs += [F.count(F.when(F.col(pos_col) == c, True)).alias(f"n_{c.lower()}")

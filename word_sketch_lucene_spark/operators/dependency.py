@@ -37,7 +37,7 @@ def annotate_tokens(tokens: DataFrame) -> DataFrame:
     replace this function with the tagger output at deployment; every
     downstream operator is annotation-source-agnostic.
     """
-    wc = word_class_expr(F.col("term"))
+    wc = word_class_expr("term")
     return tokens.select(
         "doc_id",
         (F.col("pos") / SENT_LEN).cast("int").alias("sent_id"),
@@ -92,7 +92,7 @@ def rule_annotate(tokens: DataFrame, sent_len: int = 10) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    wc = word_class_expr(F.col("term"))
+    wc = word_class_expr("term")
     base = tokens.select(
         "doc_id",
         (F.col("pos") / sent_len).cast("int").alias("sent_id"),

@@ -391,7 +391,7 @@ def _resolve_col(attr: str, columns: list[str]) -> Column:
         # (the synthetic xpos analog; a real deployment has xpos columns)
         from .relations import word_class_expr
 
-        return word_class_expr(F.col("term"))
+        return word_class_expr("term")
     col = DEFAULT_LAYERS.get(attr, attr)
     if col not in columns:
         raise ValueError(

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field
+from functools import lru_cache
 from pathlib import Path
 
 from pyspark.sql import Column, DataFrame
@@ -43,11 +44,35 @@ WORD_CLASSES: dict[str, str] = {
 }
 
 
-def word_class_expr(col: Column) -> Column:
+@lru_cache(maxsize=64)
+def _word_class_expr_cached(name: str) -> Column:
+    by_class: dict[str, list[str]] = {}
+    for w, c in WORD_CLASSES.items():
+        by_class.setdefault(c, []).append(w)
+
+    def _in(vals: list[str]) -> str:
+        return ", ".join(f"'{v}'" for v in vals)
+
+    return F.expr(
+        f"CASE WHEN {name} IN ({_in(by_class['NOUN'])}) THEN 'NOUN' "
+        f"WHEN {name} IN ({_in(by_class['VERB'])}) THEN 'VERB' "
+        f"WHEN {name} IN ({_in(by_class['ADJ'])}) THEN 'ADJ' "
+        f"WHEN {name} IN ({_in(by_class['DET'])}) THEN 'DET' "
+        f"ELSE 'X' END")
+
+
+def word_class_expr(col: Column | str) -> Column:
     """Deterministic word-class column (CASE chain — JVM-side, and
-    reproducible in the DuckDB oracle as the same CASE expression)."""
-    expr = F.lit("X")
-    # build reverse: chain WHENs per class
+    reproducible in the DuckDB oracle as the same CASE expression).
+
+    Pass the column NAME: the chain is parsed from one SQL string and
+    memoized per name — built column-by-column it cost ~80 py4j
+    round-trips, and the 41-branch sketch fan-out evaluates it per
+    class-constrained branch (seconds of driver-side plan-construction
+    chatter before any job ran)."""
+    if isinstance(col, str):
+        return _word_class_expr_cached(col)
+    # Column fallback for external callers; not memoizable
     by_class: dict[str, list[str]] = {}
     for w, c in WORD_CLASSES.items():
         by_class.setdefault(c, []).append(w)
@@ -55,7 +80,7 @@ def word_class_expr(col: Column) -> Column:
     out = out.when(col.isin(by_class["VERB"]), F.lit("VERB"))
     out = out.when(col.isin(by_class["ADJ"]), F.lit("ADJ"))
     out = out.when(col.isin(by_class["DET"]), F.lit("DET"))
-    return out.otherwise(expr)
+    return out.otherwise(F.lit("X"))
 
 
 def _read_text(path: Path) -> str:
@@ -101,12 +126,12 @@ class RelationConfig:
     def head_filter(self) -> Column | None:
         if not self.head_class:
             return None
-        return word_class_expr(F.col("head_term")) == self.head_class
+        return word_class_expr("head_term") == self.head_class
 
     def colloc_filter(self) -> Column | None:
         if not self.colloc_class:
             return None
-        return word_class_expr(F.col("colloc_term")) == self.colloc_class
+        return word_class_expr("colloc_term") == self.colloc_class
 
 
 class GrammarCatalog:
@@ -403,7 +428,7 @@ def _side_pred(item, pref: str, cols: list[str]):
     for t in item.tests:
         t = effective_test(t)
         if t.attr == "class":
-            col = word_class_expr(F.col(f"{pref}.term"))
+            col = word_class_expr(f"{pref}.term")
         else:
             name = DEFAULT_LAYERS.get(t.attr, t.attr)
             if name not in cols:
@@ -612,7 +637,7 @@ def word_sketch(
         else:
             c = (F.abs(gap) >= br.min_gap) & (F.abs(gap) <= br.max_gap)
         if br.colloc_class:
-            c = c & (word_class_expr(F.col("colloc_term")) == br.colloc_class)
+            c = c & (word_class_expr("colloc_term") == br.colloc_class)
         whens.append(F.when(c, F.lit(br.id)))
     counted = (
         pairs.select(
