@@ -50,6 +50,34 @@ SKETCH_HEAD = "table"
 SEEDS = ["table", "row", "column"]
 
 
+BM25_DOC_FILTER = "lang = 'en' AND source LIKE 'src1%'"
+
+
+def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered BM25 (Lucene filter-query semantics): the
+    candidate set restricts to pages passing a metadata predicate via a
+    semi-join on the column-pruned metadata scan; collection statistics
+    stay corpus-level."""
+    return bm25_topk_df(_docs(spark, sf_dir), FLAGSHIP_TERMS, k=10,
+                        round_dp=4, doc_filter=BM25_DOC_FILTER)
+
+
+def q_bm25_index_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INDEX path of the metadata filter: the predicate resolves
+    against the build-time ``doc_meta`` store and masks the decoded
+    postings (cache stays filter-agnostic) — same oracle as the
+    DataFrame twin."""
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    searcher = IndexSearcher(spark, _contract_index_root(spark, sf_dir))
+    hits, _ = searcher.search(FLAGSHIP_TERMS, k=30,
+                              doc_filter=BM25_DOC_FILTER)
+    rows = sorted(((d, round(s, 4)) for d, s in hits),
+                  key=lambda x: (-x[1], x[0]))[:10]
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in rows], "doc_id long, score double")
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -830,6 +858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _scoped(fn) for name, fn in {
         "bm25_topk": q_bm25_topk,
         "bm25_index_topk": q_bm25_index_topk,
+        "bm25_filtered": q_bm25_filtered,
+        "bm25_index_filtered": q_bm25_index_filtered,
         "term_stats": q_term_stats,
         "term_posdist": q_term_posdist,
         "corpus_stats": q_corpus_stats,
@@ -885,6 +915,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": osql.sql_bm25_topk(FLAGSHIP_TERMS, k=10),
         "bm25_index_topk": osql.sql_bm25_topk(FLAGSHIP_TERMS, k=10),
+        "bm25_filtered": osql.sql_bm25_topk(
+            FLAGSHIP_TERMS, k=10, doc_filter=BM25_DOC_FILTER),
+        "bm25_index_filtered": osql.sql_bm25_topk(
+            FLAGSHIP_TERMS, k=10, doc_filter=BM25_DOC_FILTER),
         "term_stats": osql.sql_term_stats(),
         "term_posdist": osql.sql_term_posdist(),
         "corpus_stats": osql.sql_corpus_stats(),

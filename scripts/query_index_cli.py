@@ -22,7 +22,8 @@ def main() -> None:
     ap.add_argument("--query", help="free-text OR query")
     ap.add_argument("--phrase", help="exact-sequence phrase query")
     ap.add_argument("--cql", help="mini-BCQL pattern, e.g. "
-                    "'[word=\"sp.*\"] []{0,2} [word=\"join\"]'")
+                    "'[word=\"sp.*\"] []{0,2} [word=\"join\"]'; span "
+                    "filters work too: '<s/> containing [lemma=\"x\"]'")
     ap.add_argument("--relation", help="dependency-relation query, e.g. "
                     "'[lemma=\"theory\"] -nsubj-> _' (ranked dependents)")
     ap.add_argument("--regex", help="regex term query (dictionary expansion)")

@@ -364,3 +364,59 @@ def test_index_word_sketch_matches_dataframe_path(spark, docs_small,
                                 relation_types=("DEP",),
                                 limit_per_relation=10, round_dp=4)
     assert sorted(got_dep) == sorted(want_dep) and got_dep
+
+
+# ------------------------------------------------- metadata filters
+def test_metadata_filtered_search_paths_identical(spark, index_small,
+                                                  docs_small):
+    """Lucene filter-query semantics on both engines: the DataFrame
+    semi-join tier and the index doc_meta mask return the same ranked
+    page, candidates restrict to the predicate, and per-doc scores are
+    UNCHANGED vs the unfiltered query (stats stay corpus-level)."""
+    from word_sketch_lucene_spark.query.engine import (
+        IndexSearcher,
+        bm25_topk_df,
+    )
+
+    flt = "lang = 'en' AND source LIKE 'src1%'"
+    terms = ["spark", "join"]
+    s = IndexSearcher(spark, index_small)
+    hits, _ = s.search(terms, k=10, doc_filter=flt)
+    assert hits
+    allowed = {r["doc_id"] for r in
+               docs_small.filter(flt).select("doc_id").collect()}
+    assert {d for d, _ in hits} <= allowed
+    # scores identical to the unfiltered run for surviving docs
+    unfiltered = dict(s.search(terms, k=10_000, mode="vec")[0])
+    for d, sc in hits:
+        assert abs(unfiltered[d] - sc) < 1e-9
+    df_rows = bm25_topk_df(docs_small, terms, k=10, round_dp=4,
+                           doc_filter=flt).collect()
+    df_ranked = [(r["doc_id"], r["score"]) for r in df_rows]
+    idx_ranked = sorted(((d, round(sc, 4)) for d, sc in hits),
+                        key=lambda x: (-x[1], x[0]))
+    assert df_ranked == idx_ranked[:len(df_ranked)]
+
+
+def test_metadata_filter_requires_doc_meta(spark, docs_small, tmp_path):
+    from word_sketch_lucene_spark.index.build import build_index
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    root = tmp_path / "nometa"
+    build_index(spark, docs_small.select("doc_id", "text"), root,
+                doc_salt=2, n_partitions=4)
+    s = IndexSearcher(spark, root)
+    with pytest.raises(NotImplementedError, match="doc_meta"):
+        s.search(["spark"], doc_filter="lang = 'en'")
+
+
+def test_metadata_filter_cache_and_empty(spark, index_small):
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    s = IndexSearcher(spark, index_small)
+    a1 = s.filtered_doc_ids("lang = 'zz'")
+    assert a1.size == 0
+    hits, _ = s.search(["spark"], doc_filter="lang = 'zz'")
+    assert hits == []
+    # cached object is reused verbatim
+    assert s.filtered_doc_ids("lang = 'zz'") is a1

@@ -79,6 +79,7 @@ class IndexPaths:
         self.layers = self.root / "layers"
         self.layer_stats = self.root / "layer_stats"
         self.docstore = self.root / "docstore"
+        self.doc_meta = self.root / "doc_meta"
         self.stats = self.root / STATS_FILE
 
 
@@ -472,5 +473,23 @@ def build_index(
                 )
             ds.write.mode("overwrite").parquet(str(paths.docstore))
             st_ds.commit(inputs_fp, cfg_fp, lineage={"inputs": input_paths or []})
+
+    # ---- stage: doc_meta (stored metadata fields) ---------------------
+    # every non-id/non-text page column becomes a stored metadata field
+    # (the Lucene stored-field analog): one column-pruned projection,
+    # O(n_docs) rows, serving metadata-filtered queries
+    # (IndexSearcher.search(doc_filter=…)) without touching the corpus
+    meta_cols = ([] if pages is None else
+                 [c for c in pages.columns if c not in (doc_id_col,
+                                                        text_col)])
+    if meta_cols:
+        st_meta = StageManifest(paths.doc_meta, "doc_meta")
+        if not st_meta.is_complete(inputs_fp, cfg_fp):
+            (pages.select(F.col(doc_id_col).cast("long").alias("doc_id"),
+                          *meta_cols)
+             .write.mode("overwrite").parquet(str(paths.doc_meta)))
+            st_meta.commit(inputs_fp, cfg_fp,
+                           lineage={"inputs": input_paths or [],
+                                    "meta_cols": meta_cols})
 
     return stats

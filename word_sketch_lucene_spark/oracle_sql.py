@@ -1257,8 +1257,17 @@ ORDER BY logdice DESC, colloc_term ASC LIMIT {k}
 
 
 def sql_bm25_topk(terms: list[str], k: int = 10,
-                  k1: float = K1, b: float = B) -> str:
+                  k1: float = K1, b: float = B,
+                  doc_filter: str | None = None) -> str:
+    """``doc_filter`` (SQL predicate over the ``documents`` metadata
+    columns) restricts the CANDIDATE set only; collection statistics
+    (N, avgdl, df) stay corpus-level — Lucene filter-query semantics,
+    mirrored by both engine paths."""
     tl = _sql_terms_list(terms)
+    cand = (f",\nallowed AS (SELECT doc_id FROM documents "
+            f"WHERE {doc_filter})" if doc_filter else "")
+    cand_join = ("JOIN allowed a ON h.doc_id = a.doc_id\n  "
+                 if doc_filter else "")
     return f"""
 WITH {TOKENS_CTE},
 dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
@@ -1268,14 +1277,14 @@ tstats AS (
   WHERE term IN {tl} GROUP BY term),
 hits AS (
   SELECT term, doc_id, count(*) AS tf FROM tokens
-  WHERE term IN {tl} GROUP BY term, doc_id),
+  WHERE term IN {tl} GROUP BY term, doc_id){cand},
 scored AS (
   SELECT h.doc_id,
          ln(1 + (cs.n_docs - s.df + 0.5) / (s.df + 0.5))
            * (h.tf * ({k1} + 1.0))
            / (h.tf + {k1} * (1.0 - {b} + {b} * d.dl / cs.avgdl)) AS contrib
   FROM hits h
-  JOIN tstats s ON h.term = s.term
+  {cand_join}JOIN tstats s ON h.term = s.term
   JOIN dl d ON h.doc_id = d.doc_id
   CROSS JOIN cs)
 SELECT doc_id, round(sum(contrib), 4) AS score

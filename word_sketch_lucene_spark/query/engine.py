@@ -39,8 +39,15 @@ def bm25_topk_df(
     k1: float = K1,
     b: float = B,
     round_dp: int | None = None,
+    doc_filter: Column | str | None = None,
 ) -> DataFrame:
     """Declarative BM25 top-k: ONE tokenize scan, no index needed.
+
+    ``doc_filter`` (a Column or SQL predicate over ``pages``'s metadata
+    columns, e.g. ``"lang = 'en'"``) restricts the CANDIDATE set via a
+    semi-join on a column-pruned metadata scan; collection statistics
+    (N, avgdl, df) stay corpus-level — Lucene filter-query semantics
+    (the filter narrows results, it does not re-weight them).
 
     OR semantics over query terms; tie-break (score desc, doc_id asc).
     Returns ``(doc_id, score)``. ``round_dp`` rounds the score and uses
@@ -94,6 +101,12 @@ def bm25_topk_df(
     for c in contribs[1:]:
         score = score + c
     agg = per_doc.filter(hit_any).select("doc_id", score.alias("score"))
+    if doc_filter is not None:
+        pred = (F.expr(doc_filter) if isinstance(doc_filter, str)
+                else doc_filter)
+        allowed = pages.filter(pred).select(
+            F.col(doc_id_col).alias("doc_id"))
+        agg = agg.join(allowed, "doc_id", "left_semi")
     if round_dp is not None:
         agg = agg.withColumn("score", F.round("score", round_dp))
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -134,6 +147,7 @@ class IndexSearcher:
         self._expand_cache: dict[tuple[str, str, int], list[str]] = {}
         self._forward_cache: dict[str, dict[int, list]] = {}
         self._cf_cache: dict[str, dict[str, int]] = {}
+        self._meta_filter_cache: dict[str, object] = {}
         # merged per-TEST position maps: a sketch fan-out repeats the
         # same constraints ([xpos="NN.*"] appears in ~15 relations) —
         # re-merging a corpus-wide layer posting map per relation is
@@ -1262,7 +1276,33 @@ class IndexSearcher:
                         pdf["start"].astype(int).tolist(),
                         pdf["end"].astype(int).tolist()))
 
-    def search(self, query: str | list[str], k: int = 10, mode: str = "auto"
+    def filtered_doc_ids(self, doc_filter: str):
+        """Sorted doc_id array passing a SQL predicate over the stored
+        ``doc_meta`` fields (the Lucene stored-metadata filter analog);
+        cached per predicate. In-driver tier: O(selected docs) ids —
+        right for interactive serving; a corpus-majority filter at web
+        scale belongs on the in-plan path
+        (``bm25_topk_df(doc_filter=…)`` semi-joins instead)."""
+        import numpy as np
+
+        hit = self._meta_filter_cache.get(doc_filter)
+        if hit is not None:
+            return hit
+        p = self.root / "doc_meta"
+        if not p.exists():
+            raise NotImplementedError(
+                "index has no doc_meta store — rebuild with build_index "
+                "over pages that carry metadata columns (every non-id/"
+                "non-text column is stored)")
+        pdf = (self.spark.read.parquet(str(p))
+               .filter(F.expr(doc_filter)).select("doc_id").toPandas())
+        arr = np.sort(pdf["doc_id"].to_numpy(np.int64))
+        if len(self._meta_filter_cache) < 64:
+            self._meta_filter_cache[doc_filter] = arr
+        return arr
+
+    def search(self, query: str | list[str], k: int = 10, mode: str = "auto",
+               doc_filter: str | None = None
                ) -> tuple[list[tuple[int, float]], dict]:
         """Top-k ``(doc_id, score)`` for a free-text query or term list.
 
@@ -1273,6 +1313,13 @@ class IndexSearcher:
 
         All modes are rank- and score-identical; they differ only in
         blocks decoded and constant factors.
+
+        ``doc_filter`` (SQL predicate over the stored ``doc_meta``
+        fields, e.g. ``"lang = 'en'"``) restricts candidates; collection
+        statistics stay corpus-level (Lucene filter-query semantics).
+        Filtered queries run on the vectorized tier with the allowed-id
+        mask applied AFTER the per-term decode cache, so the cache stays
+        filter-agnostic.
         """
         terms = tokenize_py(query) if isinstance(query, str) else list(query)
         # dedupe preserving order (reference queries are unique-term sets)
@@ -1284,6 +1331,9 @@ class IndexSearcher:
         dfs = self.term_dfs(terms)
         if all(dfs[t] == 0 for t in terms):
             return [], {"decoded_blocks": 0, "total_blocks": 0}
+        if doc_filter is not None:
+            return self._vec_cached(terms, dfs, k,
+                                    allowed=self.filtered_doc_ids(doc_filter))
         if mode == "auto":
             # Pruning pays off when the rarest term is much more selective
             # than the rest (its bound dominates θ quickly). Otherwise the
@@ -1300,9 +1350,13 @@ class IndexSearcher:
             return exact_daat(cursors, k, len(terms))
         return block_max_wand(cursors, k, len(terms), use_block_max=(mode == "bmw"))
 
-    def _vec_cached(self, terms: list[str], dfs: dict[str, int], k: int
+    def _vec_cached(self, terms: list[str], dfs: dict[str, int], k: int,
+                    allowed=None
                     ) -> tuple[list[tuple[int, float]], dict]:
-        """Vectorized path with a decoded-postings cache for hot terms."""
+        """Vectorized path with a decoded-postings cache for hot terms.
+        ``allowed`` (sorted int64 array) masks each term's postings to
+        the metadata-filtered candidate set — applied on a copy, never
+        to the cached arrays."""
         import numpy as np
 
         from .wand import _decode_all, topk_from_arrays
@@ -1333,6 +1387,13 @@ class IndexSearcher:
                 self._decoded_cache[t] = (docs, scores)
                 decoded += sum(c.decoded_blocks for c in curs)
                 total += sum(c.nblocks for c in curs)
+            if allowed is not None and docs.size:
+                # both sides sorted → membership via searchsorted
+                pos = np.searchsorted(allowed, docs)
+                pos[pos >= allowed.size] = 0
+                m = allowed[pos] == docs if allowed.size else \
+                    np.zeros(docs.size, dtype=bool)
+                docs, scores = docs[m], scores[m]
             term_arrays.append((ti, docs, scores))
         out = topk_from_arrays(term_arrays, k)
         return out, {"decoded_blocks": decoded, "total_blocks": total}
