@@ -659,6 +659,18 @@ def q_cql_not_containing_index(spark: SparkSession, sf_dir: str
                     "start", "end"))
 
 
+def q_cql_hits_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED pattern search (BlackLab's subcorpus use case:
+    CQL restricted to documents passing a metadata predicate): the
+    doc_meta store resolves the predicate and the span route applies it
+    on whichever tier runs (semi-join in-plan / driver mask)."""
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    s = IndexSearcher(spark, _contract_index_root(spark, sf_dir))
+    return s.pattern_spans_df(CQL_HITS_PATTERN,
+                              doc_filter=BM25_DOC_FILTER)
+
+
 def q_cql_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V9/P1 mini-BCQL: labeled constraint sequence with a bounded gap
     compiled to chained positional joins (the POST /api/bcql analog)."""
@@ -890,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concordance": q_concordance,
         "cql_hits": q_cql_hits,
         "cql_hits_index": q_cql_hits_index,
+        "cql_hits_filtered": q_cql_hits_filtered,
         "cql_layers_index": q_cql_layers_index,
         "cql_feats": q_cql_feats,
         "cql_containing": q_cql_containing,
@@ -960,6 +973,9 @@ def oracle_sql() -> dict[str, str]:
         "cql_hits": osql.sql_pattern_hits(CQL_HITS_PATTERN),
         "cql_hits_index": osql.sql_pattern_hits(CQL_HITS_PATTERN,
                                                 spans_only=True),
+        "cql_hits_filtered": osql.sql_pattern_hits(
+            CQL_HITS_PATTERN, spans_only=True,
+            doc_filter=BM25_DOC_FILTER),
         "cql_layers_index": osql.sql_pattern_spans_conllu(
             CQL_LAYERS_PATTERN),
         "cql_feats": osql.sql_pattern_spans_conllu(CQL_FEATS_PATTERN),

@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--within-sentence", action="store_true",
                     help="CQL matches may not cross sentence boundaries")
     ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("--doc-filter", default=None,
+                    help="SQL metadata predicate over the doc_meta "
+                         "store, e.g. \"lang = 'en'\"")
     ap.add_argument("--mode", default="auto",
                     choices=["auto", "bmw", "wand", "vec", "daat"])
     ap.add_argument("--master", default=None)
@@ -46,7 +49,8 @@ def main() -> None:
     s = IndexSearcher(spark, args.index)
     t0 = time.perf_counter()
     if args.query:
-        hits, st = s.search(args.query, k=args.k, mode=args.mode)
+        hits, st = s.search(args.query, k=args.k, mode=args.mode,
+                            doc_filter=args.doc_filter)
         out = {"query": args.query, "mode": args.mode,
                "hits": [{"doc_id": d, "score": round(sc, 6)} for d, sc in hits],
                "decoded_blocks": st["decoded_blocks"],
@@ -61,7 +65,8 @@ def main() -> None:
         # DataFrame plan over the forward token table instead of a
         # driver-side postings union
         spans = s.pattern_hits_auto(args.cql,
-                                    within_sentence=args.within_sentence)
+                                    within_sentence=args.within_sentence,
+                                    doc_filter=args.doc_filter)
         out = {"cql": args.cql,
                "hits": [{"doc_id": d, "start": a, "end": b}
                         for d, a, b in spans[:args.k]],

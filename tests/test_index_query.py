@@ -420,3 +420,27 @@ def test_metadata_filter_cache_and_empty(spark, index_small):
     assert hits == []
     # cached object is reused verbatim
     assert s.filtered_doc_ids("lang = 'zz'") is a1
+
+
+def test_metadata_filtered_pattern_routes_identical(spark, index_small,
+                                                    docs_small):
+    """doc_filter on the pattern surface: the in-driver masked route
+    and the forced-distributed semi-join route return identical spans,
+    all within the allowed doc set and exactly the unfiltered spans of
+    those docs."""
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    flt = "lang = 'en'"
+    pat = '[word="sp.*"] [word="window"]'
+    s = IndexSearcher(spark, index_small)
+    allowed = {r["doc_id"] for r in
+               docs_small.filter(flt).select("doc_id").collect()}
+    base = set(s.pattern_hits_auto(pat))
+    in_driver = {(r["doc_id"], r["start"], r["end"]) for r in
+                 s.pattern_spans_df(pat, doc_filter=flt).collect()}
+    distributed = {(r["doc_id"], r["start"], r["end"]) for r in
+                   s.pattern_spans_df(pat, df_budget=0,
+                                      doc_filter=flt).collect()}
+    expected = {sp for sp in base if sp[0] in allowed}
+    assert in_driver == distributed == expected and expected
+    assert set(s.pattern_hits_auto(pat, doc_filter=flt)) == expected

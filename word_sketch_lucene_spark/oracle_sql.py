@@ -1111,10 +1111,13 @@ def _cql_joins(pattern: str, table: str = "tokens",
     return steps, "\n  ".join(frm), where or "TRUE"
 
 
-def sql_pattern_hits(pattern: str, spans_only: bool = False) -> str:
+def sql_pattern_hits(pattern: str, spans_only: bool = False,
+                     doc_filter: str | None = None) -> str:
     """Oracle for ``plans.cql.compile_cql`` (and, with ``spans_only``,
     for ``IndexSearcher.pattern_hits``): distinct match assignments
-    with capture columns, or bare ``(doc_id, start, end)`` spans."""
+    with capture columns, or bare ``(doc_id, start, end)`` spans.
+    ``doc_filter`` restricts to documents passing a metadata predicate
+    (the ``pattern_spans_df(doc_filter=…)`` twin)."""
     steps, frm, where = _cql_joins(pattern)
     last = len(steps) - 1
     sel = [f"t0.doc_id AS doc_id", f"t0.pos AS start",
@@ -1124,6 +1127,9 @@ def sql_pattern_hits(pattern: str, spans_only: bool = False) -> str:
             if st.item.label is not None:
                 sel.append(f"t{i}.pos AS pos_{st.item.label}")
                 sel.append(f"t{i}.term AS term_{st.item.label}")
+    if doc_filter:
+        where = (f"({where}) AND t0.doc_id IN "
+                 f"(SELECT doc_id FROM documents WHERE {doc_filter})")
     return f"""
 WITH {TOKENS_CTE}
 SELECT DISTINCT {', '.join(sel)}

@@ -1148,10 +1148,23 @@ class IndexSearcher:
             tokens = None
         return tokens
 
+    def _meta_allowed_df(self, doc_filter: str) -> DataFrame:
+        """Allowed-id PLAN for a metadata predicate (no collect): the
+        in-plan twin of :meth:`filtered_doc_ids` for distributed
+        consumers (semi-join side)."""
+        p = self.root / "doc_meta"
+        if not p.exists():
+            raise NotImplementedError(
+                "index has no doc_meta store — rebuild with build_index "
+                "over pages that carry metadata columns")
+        return (self.spark.read.parquet(str(p))
+                .filter(F.expr(doc_filter)).select("doc_id"))
+
     def pattern_spans_df(self, pattern: str,
                          max_terms_per_slot: int = 256,
                          df_budget: int = 500_000,
-                         within_sentence: bool = False) -> DataFrame:
+                         within_sentence: bool = False,
+                         doc_filter: str | None = None) -> DataFrame:
         """Pattern spans as a DATAFRAME ``(doc_id, start, end)`` —
         the plan-shaped twin of :meth:`pattern_hits_auto`. On the
         distributed route the returned plan never materializes spans on
@@ -1160,6 +1173,11 @@ class IndexSearcher:
         ``query.concordance.index_pattern_concordance``). Under the
         Σcf budget the in-driver span chain runs and its (bounded)
         span list is parallelized back — same result shape either way.
+
+        ``doc_filter`` (SQL predicate over the ``doc_meta`` store)
+        restricts matches to passing documents — semi-joined in-plan on
+        the distributed route, masked driver-side on the bounded
+        in-driver route (BlackLab's metadata-filtered CQL).
         """
         from ..plans.cql import (
             compile_cql,
@@ -1171,9 +1189,13 @@ class IndexSearcher:
         if mode is not None:
             # span-filter form: sentence spans, same (doc_id, start,
             # end) shape — KWIC/consumer plumbing works unchanged
-            return (self.sentence_spans_containing(
+            out = (self.sentence_spans_containing(
                 core, negated=mode == "not_containing")
                 .select("doc_id", "start", "end"))
+            if doc_filter is not None:
+                out = out.join(self._meta_allowed_df(doc_filter),
+                               "doc_id", "left_semi")
+            return out
         pattern, ws = strip_within_sentence(pattern)
         within_sentence = within_sentence or ws
         cost, capped = self.pattern_cost(pattern, max_terms_per_slot)
@@ -1182,14 +1204,21 @@ class IndexSearcher:
             tokens = self._pattern_fallback_tokens(pattern,
                                                    within_sentence)
         if tokens is not None:
-            return (compile_cql(
+            out = (compile_cql(
                 tokens, pattern, keep_terms=False,
                 within_sentence=within_sentence,
                 selective_broadcast=self._selective_broadcast_safe(
                     pattern))
                 .select("doc_id", "start", "end"))
+            if doc_filter is not None:
+                out = out.join(self._meta_allowed_df(doc_filter),
+                               "doc_id", "left_semi")
+            return out
         spans = self.pattern_hits(pattern, max_terms_per_slot,
                                   within_sentence=within_sentence)
+        if doc_filter is not None:
+            allowed = set(self.filtered_doc_ids(doc_filter).tolist())
+            spans = [s for s in spans if s[0] in allowed]
         return self.spark.createDataFrame(
             [(int(d), int(s), int(e)) for d, s, e in spans],
             "doc_id long, start long, end long")
@@ -1221,7 +1250,8 @@ class IndexSearcher:
     def pattern_hits_auto(self, pattern: str,
                           max_terms_per_slot: int = 256,
                           df_budget: int = 500_000,
-                          within_sentence: bool = False
+                          within_sentence: bool = False,
+                          doc_filter: str | None = None
                           ) -> list[tuple[int, int, int]]:
         """:meth:`pattern_hits` with the hot-pattern guard: a
         vocabulary-wide slot (e.g. ``[word="[a-z0-9]+"]``) would pull a
@@ -1240,13 +1270,25 @@ class IndexSearcher:
         use :meth:`pattern_spans_df` and push their window/limit into
         the plan instead of collecting everything here. The transfer
         uses one Arrow batch exchange (``toPandas``), not row-at-a-time
-        ``collect`` — ~5× cheaper at 10⁵⁺ spans."""
+        ``collect`` — ~5× cheaper at 10⁵⁺ spans.
+
+        ``doc_filter`` restricts matches to documents passing a
+        metadata predicate (delegates to :meth:`pattern_spans_df`,
+        which applies it on whichever route runs)."""
         from ..plans.cql import (
             compile_cql,
             strip_containing,
             strip_within_sentence,
         )
 
+        if doc_filter is not None:
+            pdf = (self.pattern_spans_df(
+                pattern, max_terms_per_slot, df_budget,
+                within_sentence, doc_filter=doc_filter)
+                .orderBy("doc_id", "start", "end").toPandas())
+            return list(zip(pdf["doc_id"].astype(int).tolist(),
+                            pdf["start"].astype(int).tolist(),
+                            pdf["end"].astype(int).tolist()))
         core, mode = strip_containing(pattern)
         if mode is not None:
             pdf = (self.sentence_spans_containing(
