@@ -102,56 +102,48 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
     """Distinct word n-grams per doc: ``(doc_id, shingle)``.
 
     ``hashed=True`` (or ``"xxhash64"``) emits the 64-bit ``xxhash64``
-    of each n-gram's token-array slice instead of the concatenated
-    string — the scale path every dedup operator uses internally: no
-    string building, 8-byte join/shuffle keys, and set identity
+    of the space-joined n-gram string — the scale path every dedup
+    operator uses internally: 8-byte join/shuffle keys, set identity
     preserved up to 64-bit collisions (birthday-negligible below ~10⁹
     distinct shingles; Jaccard needs only equality, never the text).
-    ``hashed="md5le"`` hashes the joined shingle STRING with
-    :func:`md5le64_expr` instead — slower (string build + md5) but
-    reproducible in ANSI SQL, the oracle-checkable contract tier.
+    ``hashed="md5le"`` hashes the same string with
+    :func:`md5le64_expr` instead — pricier per byte but reproducible
+    in ANSI SQL, the oracle-checkable contract tier.
+
+    The n-gram strings are built with a ``zip_with`` FOLD over shifted
+    array views, not ``transform(sequence, slice)``: a ``slice`` whose
+    start is the lambda variable defeats codegen and evaluates
+    INTERPRETED per element (~5-9× the wall on this stage, measured);
+    ``zip_with``'s element-wise ``concat`` stays cheap, and both hash
+    projections run post-explode inside whole-stage codegen.
     """
     toks = tokens_expr(text_col)
-    # n-gram via transform over index range; JVM-side, no UDF.
-    # Guard: F.sequence(0, -1) would DESCEND, so short docs get [].
-    if hashed == "md5le":
-        # hash AFTER the explode: the md5→reverse-hex→conv chain is a
-        # heavy expression, and inside a transform() lambda it runs
-        # INTERPRETED per array element (~8× wall on the shingle
-        # stage); as a flat post-explode projection it stays in
-        # whole-stage codegen
-        grams = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        strings = docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.array_distinct(grams)).alias("shingle_str"))
-        return strings.select(
-            "doc_id", md5le64_expr(F.col("shingle_str")).alias("shingle"))
-    elif hashed:
-        grams = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.xxhash64(F.slice(toks, i + 1, n)),
-            ),
-        ).otherwise(F.array().cast("array<long>"))
-    else:
-        grams = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    # z after k folds holds the (k+1)-gram STARTING at each index;
+    # zip_with null-pads the shorter (shifted) side and concat
+    # propagates the null, so positions past size-k die — the final
+    # slice keeps exactly the size-n+1 complete windows. size<n docs
+    # short-circuit to [] (F.sequence(0, -1) would DESCEND).
+    z = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1,
+                          F.greatest(F.size(toks) - k, F.lit(0)))
+        z = F.zip_with(z, shifted,
+                       lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.slice(z, 1, F.size(toks) - n + 1) if n > 1 else z,
+    ).otherwise(F.array().cast("array<string>"))
     # dedupe INSIDE the row (array_distinct, JVM-side) so no
     # corpus-wide distinct() shuffle is needed after the explode
-    return docs.select(F.col(id_col).alias("doc_id"),
-                       F.explode(F.array_distinct(grams)).alias("shingle"))
+    out = docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.array_distinct(grams)).alias("shingle"))
+    if hashed == "md5le":
+        return out.select(
+            "doc_id", md5le64_expr(F.col("shingle")).alias("shingle"))
+    elif hashed:
+        return out.select(
+            "doc_id", F.xxhash64("shingle").alias("shingle"))
+    return out
 
 
 def _capped_shingles(docs: DataFrame, n: int, text_col: str, id_col: str,

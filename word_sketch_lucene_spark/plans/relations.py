@@ -574,6 +574,132 @@ def sketch_branches(catalog: GrammarCatalog, head_term: str
     return out
 
 
+def _foldable_pattern(items, head_label: str, colloc_label: str):
+    """``(head_item, mid, colloc_item)`` when a pattern relation is a
+    head-first 2-3-slot adjacency — ``1:[…] (mid)? 2:[…]`` with ``mid``
+    a short filler gap or one unlabeled token test, every test on the
+    ``word``/``class`` layers — else ``None`` (the caller falls back to
+    the per-pattern :func:`plans.cql.compile_cql` chain)."""
+    from .cql import GapItem, TokenItem, effective_test
+
+    if (not items or not isinstance(items[0], TokenItem)
+            or items[0].label != head_label):
+        return None
+    if any(isinstance(it, TokenItem) and (it.rep_min, it.rep_max) != (1, 1)
+           for it in items):
+        return None
+    if len(items) == 2:
+        mid, tail = None, items[1]
+    elif len(items) == 3:
+        mid, tail = items[1], items[2]
+        if isinstance(mid, TokenItem) and mid.label is not None:
+            return None
+        if isinstance(mid, GapItem) and not (0 <= mid.min <= mid.max <= 2):
+            return None
+    else:
+        return None
+    if not isinstance(tail, TokenItem) or tail.label != colloc_label:
+        return None
+
+    def _ok(item) -> bool:
+        return all(effective_test(t).attr in ("word", "class")
+                   for t in item.tests)
+
+    if not (_ok(items[0]) and _ok(tail)
+            and (not isinstance(mid, TokenItem) or _ok(mid))):
+        return None
+    return items[0], mid, tail
+
+
+def _layer_tests_pred(item, term_col: str) -> Column:
+    """The item's tests as ONE predicate over a renamed term column —
+    the :func:`plans.cql._item_predicate` twin for folded projections
+    (same ``_test_col`` literal/regex/negation semantics, ``class``
+    routed through :func:`word_class_expr`)."""
+    from .cql import _test_col, effective_test
+
+    pred = F.lit(True)
+    for t in item.tests:
+        t = effective_test(t)
+        col = (word_class_expr(term_col) if t.attr == "class"
+               else F.col(term_col))
+        pred = pred & _test_col(t, col)
+    return pred
+
+
+def _folded_pattern_counts(tokens: DataFrame, head_term: str,
+                           folds: list) -> DataFrame:
+    """``(relation, colloc_term, pair_freq)`` for ALL foldable pattern
+    relations in one broadcast join chain: the head's rows (exact-term
+    filter — maximally selective) left-join the tokens at offsets
+    +1..+K once, then every (relation, offset) becomes a CASE arm over
+    the same rows (`SketchHandlers.java:48-49` serves all relations
+    from one request; here they share one physical scan too). Counting
+    unit matches :func:`plans.cql.pattern_collocates`: one count per
+    (doc, head-pos, colloc-pos) match span — rows here are unique by
+    construction (each head position emits each (relation, offset) arm
+    at most once), so no distinct shuffle is needed.
+
+    ``folds``: ``[(rel, (head_item, mid, colloc_item)), …]``.
+    """
+    from .cql import GapItem, TokenItem
+
+    # (rel_id, head_item, offset, mid_item | None, colloc_item); the
+    # head's EXTRA tests (beyond the exact-term filter) are row-wise
+    # constant over H — they ride in the CASE arm on h_term rather
+    # than forcing per-relation head projections
+    arms = []
+    for rel, (head_item, mid, colloc) in folds:
+        if mid is None:
+            arms.append((rel.id, head_item, 1, None, colloc))
+        elif isinstance(mid, GapItem):
+            for g in range(mid.min, mid.max + 1):
+                arms.append((rel.id, head_item, g + 1, None, colloc))
+        else:
+            arms.append((rel.id, head_item, 2, mid, colloc))
+    max_off = max(o for _, _, o, _, _ in arms)
+
+    # chained INNER joins, head side broadcast each step (a left join
+    # could not broadcast its outer-preserved side and would shuffle
+    # the whole token table instead): J_k carries the head row plus
+    # tokens at +1..+k; offset-o arms evaluate over J_o, so heads near
+    # the doc end still feed the shorter arms. Each probe is one token
+    # scan against a build side bounded by the head's cf.
+    j = (tokens.filter(F.col("term") == head_term)
+         .select("doc_id", F.col("pos").alias("h_pos"),
+                 F.col("term").alias("h_term")))
+    by_off: dict[int, list] = {}
+    for arm in arms:
+        by_off.setdefault(arm[2], []).append(arm)
+    matched = []
+    for k in range(1, max_off + 1):
+        tk = tokens.select("doc_id", F.col("pos").alias(f"p{k}"),
+                           F.col("term").alias(f"t{k}"))
+        j = (tk.join(F.broadcast(j),
+                     (j["doc_id"] == tk["doc_id"])
+                     & (tk[f"p{k}"] == j["h_pos"] + k))
+             .drop(tk["doc_id"]))
+        cases = []
+        for rel_id, head_item, off, mid_item, colloc in by_off.get(k, []):
+            cond = (_layer_tests_pred(head_item, "h_term")
+                    & _layer_tests_pred(colloc, f"t{off}"))
+            if mid_item is not None:
+                cond = cond & _layer_tests_pred(mid_item, "t1")
+            cases.append(F.when(cond, F.struct(
+                F.lit(rel_id).alias("relation"),
+                F.col(f"t{off}").alias("colloc_term"))))
+        if cases:
+            matched.append(
+                j.select(F.explode(F.array_compact(F.array(*cases)))
+                         .alias("m"))
+                .select("m.relation", "m.colloc_term"))
+    out = matched[0]
+    for m in matched[1:]:
+        out = out.unionByName(m)
+    return (out.groupBy("relation", "colloc_term")
+            .agg(F.count("*").alias("pair_freq")))
+
+
 def word_sketch(
     tokens: DataFrame,
     term_stats: DataFrame,
@@ -599,8 +725,15 @@ def word_sketch(
 
     from ..functions.scoring import logdice_expr, rel_freq_expr
 
+    from .cql import parse_cql
+
     branches = sketch_branches(catalog, head_term)
     pattern_rels = [r for r in catalog.surface() if r.pattern]
+    folds, chain_rels = [], []
+    for r in pattern_rels:
+        shape = _foldable_pattern(parse_cql(r.pattern), "1", "2")
+        (folds.append((r, shape)) if shape is not None
+         else chain_rels.append(r))
     if not branches and not pattern_rels:
         return tokens.sparkSession.createDataFrame(
             [], "relation string, colloc_term string, pair_freq long, "
@@ -626,55 +759,68 @@ def word_sketch(
                        for b in branches)
     else:
         coverage = 1
-    pairs = window_pairs(tokens, 1, coverage, ordered=False,
-                         head_filter=F.col("head_term") == head_term)
-    gap = F.col("colloc_pos") - F.col("head_pos")
-    whens = []
-    for br in branches:
-        if br.ordered:
-            g = -gap if br.reversed else gap
-            c = (g >= br.min_gap) & (g <= br.max_gap)
-        else:
-            c = (F.abs(gap) >= br.min_gap) & (F.abs(gap) <= br.max_gap)
-        if br.colloc_class:
-            c = c & (word_class_expr("colloc_term") == br.colloc_class)
-        whens.append(F.when(c, F.lit(br.id)))
-    counted = (
-        pairs.select(
-            "colloc_term",
-            F.explode(F.array_compact(F.array(*whens))).alias("relation"))
-        .groupBy("relation", "colloc_term")
-        .agg(F.count("*").alias("pair_freq"))
-    )
-    head_cf = term_stats.filter(F.col("term") == head_term).select(
-        F.col("cf").alias("head_cf"))
-    scored = (
-        counted.join(term_stats.select(
-            F.col("term").alias("colloc_term"),
-            F.col("cf").alias("colloc_cf")), "colloc_term")
-        .crossJoin(F.broadcast(head_cf))
-        .withColumn("logdice", logdice_expr(
-            F.col("pair_freq").cast("double"),
-            F.col("head_cf").cast("double"),
-            F.col("colloc_cf").cast("double")))
-        .withColumn("rel_freq", rel_freq_expr(
-            F.col("pair_freq").cast("double"),
-            F.col("head_cf").cast("double")))
-        .filter(F.col("logdice") >= F.lit(min_logdice))
-    )
-    if round_dp is not None:
-        scored = scored.withColumn("logdice", F.round("logdice", round_dp)) \
-                       .withColumn("rel_freq", F.round("rel_freq", round_dp))
-    w = Window.partitionBy("relation").orderBy(
-        F.desc("logdice"), F.asc("colloc_term"))
-    out = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= limit_per_relation)
-        .select("relation", "colloc_term", "pair_freq", "logdice", "rel_freq")
-    ) if branches else None
-    # pattern relations (BCQL-defined, e.g. copula shapes) compile via
-    # the CQL positional-join chain; each is its own bounded branch
-    for rel in pattern_rels:
+    counted_all = None
+    if branches:
+        pairs = window_pairs(tokens, 1, coverage, ordered=False,
+                             head_filter=F.col("head_term") == head_term)
+        gap = F.col("colloc_pos") - F.col("head_pos")
+        whens = []
+        for br in branches:
+            if br.ordered:
+                g = -gap if br.reversed else gap
+                c = (g >= br.min_gap) & (g <= br.max_gap)
+            else:
+                c = (F.abs(gap) >= br.min_gap) & (F.abs(gap) <= br.max_gap)
+            if br.colloc_class:
+                c = c & (word_class_expr("colloc_term") == br.colloc_class)
+            whens.append(F.when(c, F.lit(br.id)))
+        counted_all = (
+            pairs.select(
+                "colloc_term",
+                F.explode(F.array_compact(F.array(*whens))).alias("relation"))
+            .groupBy("relation", "colloc_term")
+            .agg(F.count("*").alias("pair_freq"))
+        )
+    if folds:
+        # foldable pattern relations share one broadcast join chain and
+        # ride the SAME stats join + top-k window as the surface
+        # branches — N patterns cost CASE arms, not N compiled chains
+        fc = _folded_pattern_counts(tokens, head_term, folds)
+        counted_all = (fc if counted_all is None
+                       else counted_all.unionByName(fc))
+    out = None
+    if counted_all is not None:
+        head_cf = term_stats.filter(F.col("term") == head_term).select(
+            F.col("cf").alias("head_cf"))
+        scored = (
+            counted_all.join(term_stats.select(
+                F.col("term").alias("colloc_term"),
+                F.col("cf").alias("colloc_cf")), "colloc_term")
+            .crossJoin(F.broadcast(head_cf))
+            .withColumn("logdice", logdice_expr(
+                F.col("pair_freq").cast("double"),
+                F.col("head_cf").cast("double"),
+                F.col("colloc_cf").cast("double")))
+            .withColumn("rel_freq", rel_freq_expr(
+                F.col("pair_freq").cast("double"),
+                F.col("head_cf").cast("double")))
+            .filter(F.col("logdice") >= F.lit(min_logdice))
+        )
+        if round_dp is not None:
+            scored = (scored
+                      .withColumn("logdice", F.round("logdice", round_dp))
+                      .withColumn("rel_freq", F.round("rel_freq", round_dp)))
+        w = Window.partitionBy("relation").orderBy(
+            F.desc("logdice"), F.asc("colloc_term"))
+        out = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= limit_per_relation)
+            .select("relation", "colloc_term", "pair_freq", "logdice",
+                    "rel_freq")
+        )
+    # non-foldable pattern relations (longer/reversed/other-layer BCQL)
+    # still compile via the CQL positional-join chain, one branch each
+    for rel in chain_rels:
         from .cql import pattern_collocates
 
         b = pattern_collocates(
