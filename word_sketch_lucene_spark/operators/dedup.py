@@ -436,18 +436,20 @@ def _banded_candidates(sigs: DataFrame, num_hashes: int,
     band width, the web-scale property of LSH."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    banded = sigs.select(
-        "doc_id",
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda bnd: F.struct(
-                bnd.alias("band"),
-                F.hash(F.concat_ws(
-                    ",", F.transform(
-                        F.slice("sig", bnd * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string")))).alias("bucket"),
-            ))).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    # band ids explode FIRST so the bucket key is a flat post-explode
+    # projection (whole-stage codegen) — a slice inside a transform()
+    # lambda evaluates interpreted per element. Bucket = xxhash64 of
+    # the band's signature slice: equal slices ⇔ equal bucket, the only
+    # property the join (and the SQL oracle, which recomputes matched
+    # bands from the slices themselves) relies on.
+    banded = (
+        sigs.select("doc_id", "sig",
+                    F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
+                    .alias("band"))
+        .select("doc_id", "band",
+                F.xxhash64(F.expr(
+                    f"slice(sig, band * {rows_per_band} + 1, "
+                    f"{rows_per_band})")).alias("bucket")))
     x = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     y = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (
