@@ -438,6 +438,23 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                              shingle_hash="md5le", round_dp=4)
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash pairs closed into duplicate CLUSTERS (distributed
+    large-star/small-star connected components) with the per-cluster
+    dedup decision; the oracle recomputes the pair set in SQL and
+    closes it with a recursive CTE, so the cluster labels themselves
+    are verified."""
+    from word_sketch_lucene_spark.operators.components import (
+        near_dup_clusters)
+    from word_sketch_lucene_spark.operators.dedup import minhash_near_dups
+
+    pairs = minhash_near_dups(_docs(spark, sf_dir), threshold=0.1,
+                              num_hashes=64, bands=16, max_shingle_df=100,
+                              shingle_hash="md5le", round_dp=4)
+    return (near_dup_clusters(pairs)
+            .withColumn("keep", F.col("keep").cast("int")))
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups, ORACLE-CHECKED: the oracle recomputes the
     bit-vote signatures and applies the all-pairs Hamming filter (the
@@ -918,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dups": q_cosine_near_dups,
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "minhash_near_dups": q_minhash_near_dups,
+        "near_dup_clusters": q_near_dup_clusters,
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "media_meta": q_media_meta,
@@ -995,6 +1013,9 @@ def oracle_sql() -> dict[str, str]:
         "cosine_near_dups": osql.sql_cosine_near_dups(0.4),
         "ivf_cosine_topk": osql.sql_ivf_cosine_topk([0, 1, 2], k=10,
                                                     n_centroids=8, n_probe=2),
+        "near_dup_clusters": osql.sql_near_dup_clusters(
+            threshold=0.1, num_hashes=64, bands=16, shingle_n=3, seed=7,
+            max_shingle_df=100),
         "minhash_near_dups": osql.sql_minhash_near_dups(
             threshold=0.1, num_hashes=64, bands=16, shingle_n=3, seed=7,
             max_shingle_df=100),

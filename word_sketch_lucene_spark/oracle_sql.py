@@ -795,6 +795,31 @@ WHERE s.shared * 1.0 / (sa.size + sb.size - s.shared) >= {threshold}
 """.strip()
 
 
+def sql_near_dup_clusters(**minhash_kwargs) -> str:
+    """Near-dup CLUSTERS: the full MinHash+LSH pair query (above) as a
+    subquery, closed under transitive reachability with a recursive CTE
+    — the exact semantics of the engine's large-star/small-star
+    connected components (``operators/components.py``): cluster label =
+    component minimum, ``keep`` marks the canonical member."""
+    inner = sql_minhash_near_dups(**minhash_kwargs)
+    return f"""
+WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({inner})),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+SELECT l.doc_id, l.cluster_id, c.cluster_size,
+       CAST(l.doc_id = l.cluster_id AS INT) AS keep
+FROM labels l
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1) c
+  USING (cluster_id)
+""".strip()
+
+
 def sql_simhash_near_dups(max_hamming: int = 6, shingle_n: int = 2) -> str:
     """SimHash near-dups from first principles: md5-LE shingle hashes,
     per-bit majority votes, sign-bit reassembly to the engine's signed
