@@ -696,6 +696,26 @@ def q_cql_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_cql(explode_tokens(_docs(spark, sf_dir)), CQL_HITS_PATTERN)
 
 
+def q_cql_group_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlackLab "group hits" frequency list over the DataFrame path:
+    every distinct match of the shared BCQL pattern grouped by its hit
+    text, ranked by hit count."""
+    from word_sketch_lucene_spark.plans.cql import group_pattern_hits
+
+    return group_pattern_hits(explode_tokens(_docs(spark, sf_dir)),
+                              CQL_HITS_PATTERN, k=20)
+
+
+def q_cql_group_freq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INDEX-served twin: spans from the routed pattern tier, hit
+    text from the forward store, grouping in-plan — only 20 rows reach
+    the driver. Same oracle as ``cql_group_freq``."""
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    s = IndexSearcher(spark, _contract_index_root(spark, sf_dir))
+    return s.group_pattern_hits(CQL_HITS_PATTERN, k=20)
+
+
 def q_cql_collocates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CollocateQueryHelper analog: lemma substituted into the 1: label,
     negated collocate constraint, distinct-pair counting, logDice rank."""
@@ -918,6 +938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_events_per_user": q_topk_events_per_user,
         "concordance": q_concordance,
         "cql_hits": q_cql_hits,
+        "cql_group_freq": q_cql_group_freq,
+        "cql_group_freq_index": q_cql_group_freq_index,
         "cql_hits_index": q_cql_hits_index,
         "cql_hits_filtered": q_cql_hits_filtered,
         "cql_layers_index": q_cql_layers_index,
@@ -989,6 +1011,10 @@ def oracle_sql() -> dict[str, str]:
         "topk_events_per_user": osql.sql_topk_events_per_user(3),
         "concordance": osql.sql_concordance("spark", 10, 3),
         "cql_hits": osql.sql_pattern_hits(CQL_HITS_PATTERN),
+        "cql_group_freq": osql.sql_group_pattern_hits(CQL_HITS_PATTERN,
+                                                      k=20),
+        "cql_group_freq_index": osql.sql_group_pattern_hits(
+            CQL_HITS_PATTERN, k=20),
         "cql_hits_index": osql.sql_pattern_hits(CQL_HITS_PATTERN,
                                                 spans_only=True),
         "cql_hits_filtered": osql.sql_pattern_hits(

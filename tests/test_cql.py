@@ -271,3 +271,38 @@ def test_underscore_annotation_convention_all_tiers(spark, tmp_path):
     assert set(s.pattern_hits_auto('[word="alpha|gamma"] [xpos!="ZZ"]',
                                    df_budget=0)) \
         == {(0, 0, 1), (0, 2, 3)}
+
+
+def test_group_pattern_hits_matches_python_oracle(toks):
+    from collections import Counter
+
+    from word_sketch_lucene_spark.plans.cql import group_pattern_hits
+
+    pat = '[word="spark"] []{0,1} [word="join|table"]'
+    spans = _matches_py(pat)
+    texts = []
+    for doc_id, start, end in spans:
+        ts = [t for t in re.split(r"[^a-z0-9]+", DOCS[doc_id][1].lower())
+              if t]
+        texts.append((doc_id, " ".join(ts[start:end + 1])))
+    cnt = Counter(t for _, t in texts)
+    docs_per = {t: len({d for d, tt in texts if tt == t}) for t in cnt}
+    want = sorted(((t, n, docs_per[t]) for t, n in cnt.items()),
+                  key=lambda r: (-r[1], r[0]))[:20]
+    got = [(r["hit_text"], r["n_hits"], r["n_docs"])
+           for r in group_pattern_hits(toks, pat, k=20).collect()]
+    assert got == want
+
+
+def test_group_pattern_hits_index_path_identical(spark, toks, index_small,
+                                                 docs_small):
+    from word_sketch_lucene_spark.plans.cql import group_pattern_hits
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    pat = '[word="sp.*"] []{0,2} [word="(join|table)"]'
+    s = IndexSearcher(spark, index_small)
+    df_rows = group_pattern_hits(
+        explode_tokens(docs_small), pat, k=15).collect()
+    idx_rows = s.group_pattern_hits(pat, k=15).collect()
+    assert [tuple(r) for r in df_rows] == [tuple(r) for r in idx_rows]
+    assert len(df_rows) > 0

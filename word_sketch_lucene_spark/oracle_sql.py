@@ -1163,6 +1163,34 @@ WHERE {where}
 """.strip()
 
 
+def sql_group_pattern_hits(pattern: str, k: int = 20) -> str:
+    """Oracle for ``plans.cql.group_pattern_hits`` /
+    ``IndexSearcher.group_pattern_hits``: distinct spans of the
+    pattern, each span's inclusive token sequence gathered in position
+    order, grouped by text with hit/doc counts, deterministic top-k."""
+    steps, frm, where = _cql_joins(pattern)
+    last = len(steps) - 1
+    return f"""
+WITH {TOKENS_CTE},
+spans AS (
+  SELECT DISTINCT t0.doc_id AS doc_id, t0.pos AS start,
+         t{last}.pos AS "end"
+  FROM {frm}
+  WHERE {where}),
+gathered AS (
+  SELECT s.doc_id, s.start, s."end",
+         string_agg(t.term, ' ' ORDER BY t.pos) AS hit_text
+  FROM spans s
+  JOIN tokens t ON t.doc_id = s.doc_id
+              AND t.pos BETWEEN s.start AND s."end"
+  GROUP BY 1, 2, 3)
+SELECT hit_text, COUNT(*) AS n_hits, COUNT(DISTINCT doc_id) AS n_docs
+FROM gathered GROUP BY hit_text
+ORDER BY n_hits DESC, hit_text
+LIMIT {k}
+""".strip()
+
+
 def sql_pattern_spans_conllu(pattern: str) -> str:
     """Oracle for index-side multi-LAYER patterns
     (``IndexSearcher.pattern_hits`` over ``build_layer_postings``

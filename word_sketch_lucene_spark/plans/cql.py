@@ -615,6 +615,51 @@ def find_pattern_hits(tokens: DataFrame, pattern: str) -> DataFrame:
             .select("doc_id", F.col("start").alias("pos")).distinct())
 
 
+def spans_group_freq(spans: DataFrame, tokens: DataFrame,
+                     layer_col: str = "term", k: int = 20) -> DataFrame:
+    """Frequency distribution of hit text over spans — the grouping
+    kernel shared by the DataFrame and index-served paths.
+
+    ``(doc_id, start, end)`` spans (end INCLUSIVE, the engine's span
+    convention) are exploded to their positions — span length is
+    bounded by the pattern, so the explode is a small constant factor —
+    then equi-joined to the token table on ``(doc_id, pos)``: a
+    co-partitioned hash join, never a band join on ``doc_id`` alone.
+    Per-span text gathers with one bounded ``collect_list``; the final
+    text groupBy is a shuffle on O(distinct hit texts) rows.
+    Deterministic top-k: ``(n_hits desc, hit_text asc)``."""
+    pos = spans.select(
+        "doc_id", "start", "end",
+        F.explode(F.sequence("start", "end")).alias("pos"))
+    toks = tokens.select("doc_id", "pos", F.col(layer_col).alias("w"))
+    gathered = (
+        pos.join(toks, ["doc_id", "pos"])
+        .groupBy("doc_id", "start", "end")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                        lambda s: s["w"]), " ").alias("hit_text")))
+    return (gathered.groupBy("hit_text")
+            .agg(F.count("*").alias("n_hits"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .orderBy(F.desc("n_hits"), "hit_text")
+            .limit(k))
+
+
+def group_pattern_hits(tokens: DataFrame, pattern: str,
+                       layer_col: str = "term", k: int = 20,
+                       within_sentence: bool = False) -> DataFrame:
+    """BlackLab's "group hits" frequency list: every distinct match of
+    ``pattern``, grouped by its token sequence on one annotation layer
+    and ranked by hit count — ``(hit_text, n_hits, n_docs)`` top-k.
+    The reference serves per-collocate grouping only
+    (CollocateQueryHelper.java:189-270); this is the natural Spark
+    completion for arbitrary-pattern frequency lists."""
+    spans = (compile_cql(tokens, pattern, keep_terms=False,
+                         within_sentence=within_sentence)
+             .select("doc_id", "start", "end"))
+    return spans_group_freq(spans, tokens, layer_col, k)
+
+
 def pattern_collocates(
     tokens: DataFrame,
     term_stats: DataFrame,

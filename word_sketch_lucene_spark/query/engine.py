@@ -1223,6 +1223,26 @@ class IndexSearcher:
             [(int(d), int(s), int(e)) for d, s, e in spans],
             "doc_id long, start long, end long")
 
+    def group_pattern_hits(self, pattern: str, layer_col: str = "term",
+                           k: int = 20,
+                           within_sentence: bool = False) -> DataFrame:
+        """INDEX-served hit-text frequency list (BlackLab "group hits"):
+        spans from whichever tier :meth:`pattern_spans_df` routes to,
+        hit text gathered from the forward store's token table, grouped
+        and ranked by the shared kernel — the whole trace is a plan;
+        only the top-k rows ever reach the driver."""
+        from ..plans.cql import spans_group_freq
+
+        tokens = self.forward_token_table(columns={layer_col})
+        if tokens is None or layer_col not in tokens.columns:
+            raise NotImplementedError(
+                f"index stores no '{layer_col}' forward layer — rebuild "
+                "with store_docstore=True / build_conllu_index, or use "
+                "plans.cql.group_pattern_hits over a token DataFrame")
+        spans = self.pattern_spans_df(pattern,
+                                      within_sentence=within_sentence)
+        return spans_group_freq(spans, tokens, layer_col, k)
+
     def sentence_spans_containing(self, pattern: str,
                                   negated: bool = False) -> DataFrame:
         """Index-served ``<s/> [!]containing PATTERN``: sentence spans
