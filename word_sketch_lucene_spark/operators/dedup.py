@@ -595,8 +595,12 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     nblocks = max_hamming + 1
     width = 64 // nblocks
     sh = make_simhash_udf(shingle_n)
-    sigs = docs.select(F.col(id_col).alias("doc_id"),
-                       sh(F.col(text_col)).alias("sig"))
+    # persist: the block self-join reads the signature table on BOTH
+    # sides — without materialization each side re-runs the per-doc
+    # hashing UDF over the whole corpus
+    sigs = persist_tracked(
+        docs.select(F.col(id_col).alias("doc_id"),
+                    sh(F.col(text_col)).alias("sig")))
     block_structs = [
         F.struct(
             F.lit(i).alias("block"),
