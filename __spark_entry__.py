@@ -716,6 +716,29 @@ def q_cql_group_freq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.group_pattern_hits(CQL_HITS_PATTERN, k=20)
 
 
+KEYWORDS_PREDICATE = "lang <> 'en'"
+
+
+def q_keywords_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subcorpus keyword extraction (Dunning G² keyness): terms of the
+    non-English subcorpus vs the rest — one conditional aggregate, the
+    flag attached BEFORE the token explode so no doc-level join."""
+    from word_sketch_lucene_spark.operators.keywords import (
+        subcorpus_keywords)
+
+    return subcorpus_keywords(_docs(spark, sf_dir),
+                              KEYWORDS_PREDICATE, k=20)
+
+
+def q_keywords_g2_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX-served twin: flag from the doc_meta store, occurrences
+    from the forward token table, same G² tail — same oracle."""
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    s = IndexSearcher(spark, _contract_index_root(spark, sf_dir))
+    return s.subcorpus_keywords(KEYWORDS_PREDICATE, k=20)
+
+
 def q_cql_collocates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CollocateQueryHelper analog: lemma substituted into the 1: label,
     negated collocate constraint, distinct-pair counting, logDice rank."""
@@ -938,6 +961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_events_per_user": q_topk_events_per_user,
         "concordance": q_concordance,
         "cql_hits": q_cql_hits,
+        "keywords_g2": q_keywords_g2,
+        "keywords_g2_index": q_keywords_g2_index,
         "cql_group_freq": q_cql_group_freq,
         "cql_group_freq_index": q_cql_group_freq_index,
         "cql_hits_index": q_cql_hits_index,
@@ -1011,6 +1036,10 @@ def oracle_sql() -> dict[str, str]:
         "topk_events_per_user": osql.sql_topk_events_per_user(3),
         "concordance": osql.sql_concordance("spark", 10, 3),
         "cql_hits": osql.sql_pattern_hits(CQL_HITS_PATTERN),
+        "keywords_g2": osql.sql_subcorpus_keywords(KEYWORDS_PREDICATE,
+                                                   k=20),
+        "keywords_g2_index": osql.sql_subcorpus_keywords(KEYWORDS_PREDICATE,
+                                                         k=20),
         "cql_group_freq": osql.sql_group_pattern_hits(CQL_HITS_PATTERN,
                                                       k=20),
         "cql_group_freq_index": osql.sql_group_pattern_hits(

@@ -1191,6 +1191,37 @@ LIMIT {k}
 """.strip()
 
 
+def sql_subcorpus_keywords(predicate: str, k: int = 20) -> str:
+    """Oracle for ``operators.keywords.subcorpus_keywords`` /
+    ``IndexSearcher.subcorpus_keywords``: per-term (fa, fb) contingency
+    via the flag join, Dunning G² with zero-cells contributing 0, the
+    exact-integer direction filter, rounded-score top-k."""
+    g2 = ("2.0 * ("
+          "CASE WHEN fa > 0 THEN fa * ln(fa / "
+          "(na * (fa + fb) * 1.0 / (na + nb))) ELSE 0 END + "
+          "CASE WHEN fb > 0 THEN fb * ln(fb / "
+          "(nb * (fa + fb) * 1.0 / (na + nb))) ELSE 0 END)")
+    return f"""
+WITH {TOKENS_CTE},
+flag AS (
+  SELECT doc_id, CASE WHEN {predicate} THEN 1 ELSE 0 END AS in_a
+  FROM documents),
+tf AS (
+  SELECT t.term,
+         CAST(SUM(f.in_a) AS BIGINT) AS fa,
+         CAST(SUM(1 - f.in_a) AS BIGINT) AS fb
+  FROM tokens t JOIN flag f USING (doc_id) GROUP BY t.term),
+tot AS (
+  SELECT CAST(SUM(fa) AS BIGINT) AS na, CAST(SUM(fb) AS BIGINT) AS nb
+  FROM tf)
+SELECT term, fa, fb, round({g2}, 4) AS g2
+FROM tf, tot
+WHERE fa * nb > fb * na
+ORDER BY g2 DESC, term
+LIMIT {k}
+""".strip()
+
+
 def sql_pattern_spans_conllu(pattern: str) -> str:
     """Oracle for index-side multi-LAYER patterns
     (``IndexSearcher.pattern_hits`` over ``build_layer_postings``

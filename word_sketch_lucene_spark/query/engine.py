@@ -1243,6 +1243,32 @@ class IndexSearcher:
                                       within_sentence=within_sentence)
         return spans_group_freq(spans, tokens, layer_col, k)
 
+    def subcorpus_keywords(self, predicate: str, k: int = 20,
+                           round_dp: int | None = 4) -> DataFrame:
+        """INDEX-served keyword extraction: the subcorpus flag comes
+        from the ``doc_meta`` store, term occurrences from the forward
+        token table, scored by the shared Dunning-G² tail — everything
+        in-plan, ids never leave the executors (the output is id-free,
+        so the index's dense internal doc ids don't surface)."""
+        from ..operators.keywords import keywords_from_flagged_tokens
+
+        tokens = self.forward_token_table(columns={"term"})
+        if tokens is None:
+            raise NotImplementedError(
+                "index has no forward store — rebuild with "
+                "store_docstore=True, or use operators.keywords."
+                "subcorpus_keywords over the document table")
+        p = self.root / "doc_meta"
+        if not p.exists():
+            raise NotImplementedError(
+                "index has no doc_meta store — rebuild with build_index "
+                "over pages that carry metadata columns")
+        flag = (self.spark.read.parquet(str(p))
+                .select("doc_id",
+                        F.expr(predicate).cast("int").alias("in_a")))
+        tok = tokens.join(flag, "doc_id").select("in_a", "term")
+        return keywords_from_flagged_tokens(tok, k, round_dp)
+
     def sentence_spans_containing(self, pattern: str,
                                   negated: bool = False) -> DataFrame:
         """Index-served ``<s/> [!]containing PATTERN``: sentence spans
