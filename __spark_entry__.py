@@ -345,6 +345,24 @@ def q_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("right").alias("right_ctx"))
 
 
+def q_concordance_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC page SORTED BY RIGHT CONTEXT (BlackLab's hit-sort modes):
+    the context text is the ranking key, so every hit's window
+    materializes before the bounded top-k — the documented cost of
+    context sorting, still ≤ page-size rows on the driver."""
+    docs = _docs(spark, sf_dir)
+    from word_sketch_lucene_spark.functions.tokenize import tokens_expr
+
+    toks = explode_tokens(docs)
+    docstore = docs.select("doc_id", tokens_expr("text").alias("tokens"))
+    page = concordance_page(find_hits(toks, "spark"), docstore,
+                            offset=0, page_size=10, context=3,
+                            sort="right")
+    return page.select("rank", "doc_id", "pos",
+                       F.col("left").alias("left_ctx"), "kw",
+                       F.col("right").alias("right_ctx"))
+
+
 # ---------------------------------------------- training-data pipeline ops
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups by content digest (hash-groupBy)."""
@@ -960,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_filter": q_boilerplate_filter,
         "topk_events_per_user": q_topk_events_per_user,
         "concordance": q_concordance,
+        "concordance_right": q_concordance_right,
         "cql_hits": q_cql_hits,
         "keywords_g2": q_keywords_g2,
         "keywords_g2_index": q_keywords_g2_index,
@@ -1035,6 +1054,8 @@ def oracle_sql() -> dict[str, str]:
             _BOILERPLATE_PREFIXES),
         "topk_events_per_user": osql.sql_topk_events_per_user(3),
         "concordance": osql.sql_concordance("spark", 10, 3),
+        "concordance_right": osql.sql_concordance_sorted("spark", 10, 3,
+                                                         sort="right"),
         "cql_hits": osql.sql_pattern_hits(CQL_HITS_PATTERN),
         "keywords_g2": osql.sql_subcorpus_keywords(KEYWORDS_PREDICATE,
                                                    k=20),

@@ -126,6 +126,30 @@ def test_concordance_page_golden(spark):
     assert len(p2) == 1 and p2[0]["rank"] == 2
 
 
+def test_concordance_context_sorts(spark):
+    docs = [(0, "q target b b q target a a"), (1, "z z target c")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    tokens = explode_tokens(df)
+    docstore = df.select("doc_id", tokens_expr("text").alias("tokens"))
+    hits = find_hits(tokens, "target")
+    right = concordance_page(hits, docstore, page_size=10, context=2,
+                             sort="right").collect()
+    assert [(r["right"], r["rank"]) for r in right] == \
+        [("a a", 1), ("b b", 2), ("c", 3)]
+    # left sort compares nearest-token-first: "b q" reversed is "q b"
+    left = concordance_page(hits, docstore, page_size=10, context=2,
+                            sort="left").collect()
+    assert [r["left"] for r in left] == ["q", "b q", "z z"]
+    # edge hit at doc end: empty right context sorts first
+    df2 = spark.createDataFrame([(0, "a target"), (1, "target b")],
+                                ["doc_id", "text"])
+    t2 = explode_tokens(df2)
+    ds2 = df2.select("doc_id", tokens_expr("text").alias("tokens"))
+    r2 = concordance_page(find_hits(t2, "target"), ds2, page_size=10,
+                          context=2, sort="right").collect()
+    assert [r["right"] for r in r2] == ["", "b"]
+
+
 def test_phrase_hits(spark):
     docs = [(0, "the quick brown fox"), (1, "quick brown shoes"),
             (2, "quick red brown")]

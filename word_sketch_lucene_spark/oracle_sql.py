@@ -576,6 +576,49 @@ ORDER BY rank
 """.strip()
 
 
+def sql_concordance_sorted(term: str, page_size: int = 10,
+                           context: int = 3, sort: str = "right") -> str:
+    """Oracle for ``concordance_page(sort="left"/"right")``: the hit
+    rank orders by the context text (left compares reversed,
+    nearest-token-first), ties broken ``(doc_id, pos)`` — binary string
+    collation, same as Spark's, over ASCII-lowercase tokens."""
+    # COALESCE: DuckDB's array_to_string over an EMPTY slice (hit at
+    # the document edge) is NULL, which sorts last — Spark's concat_ws
+    # yields '', which sorts first; '' is the shared semantics
+    right_key = (f"coalesce(array_to_string(toks[pos + 2: "
+                 f"least(len(toks), pos + 1 + {context})], ' '), '')")
+    left_key = (f"coalesce(array_to_string(list_reverse(toks[greatest(1, "
+                f"pos + 1 - {context}): pos]), ' '), '')")
+    key = right_key if sort == "right" else left_key
+    return f"""
+WITH dt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+tokens AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM dt),
+hits AS (
+  SELECT t.doc_id, t.pos, toks,
+         row_number() OVER (ORDER BY {key}, t.doc_id, t.pos) AS rank
+  FROM tokens t JOIN dt USING (doc_id)
+  WHERE term = '{term}')
+SELECT rank, doc_id, pos,
+       coalesce(array_to_string(
+         toks[greatest(1, pos + 1 - {context}): pos], ' '), '')
+         AS left_ctx,
+       toks[pos + 1] AS kw,
+       coalesce(array_to_string(
+         toks[pos + 2: least(len(toks), pos + 1 + {context})], ' '), '')
+         AS right_ctx
+FROM hits
+WHERE rank <= {page_size}
+ORDER BY rank
+""".strip()
+
+
 def sql_profile_stats(seeds: list[str], min_gap: int = 1, max_gap: int = 2,
                       limit_per_seed: int = 50) -> str:
     """A9 profile statistics over the per-seed collocate table."""

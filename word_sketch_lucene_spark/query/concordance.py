@@ -153,6 +153,7 @@ def concordance_page(
     context: int = 5,
     kw_len=1,
     order_extra: tuple[str, ...] = (),
+    sort: str = "position",
 ) -> DataFrame:
     """One KWIC page: ``(rank, doc_id, pos, left, kw, right)``.
 
@@ -166,7 +167,24 @@ def concordance_page(
     pos)`` with different keyword widths, and ``row_number`` over a
     tied order is nondeterministic between runs/engines; callers with
     such hits pass ``("kw_len",)``.
+
+    ``sort``: ``"position"`` (default, corpus order — the page limit
+    applies BEFORE the docstore join, so only ≤ offset+page_size rows
+    ever fetch context) or BlackLab's context sorts ``"right"`` /
+    ``"left"`` (hits ordered by the context text; ``"left"`` compares
+    nearest-token-first, i.e. the reversed left window). Context sorts
+    must compute every hit's context BEFORE ranking — the docstore
+    join runs over ALL hits (a co-partitioned equi-join; the page
+    bound still applies via ``orderBy().limit()`` →
+    TakeOrderedAndProject, so driver rows stay ≤ offset+page_size).
+    Ties break ``(doc_id, pos, *order_extra)``; token strings are
+    ASCII-lowercase, so Spark and SQL binary collations agree.
     """
+    if sort in ("left", "right"):
+        return _context_sorted_page(hits, docstore, offset, page_size,
+                                    context, kw_len, order_extra, sort)
+    if sort != "position":
+        raise ValueError(f"unknown sort mode {sort!r}")
     # Two-phase ranking: a global orderBy().limit() first (fuses into
     # TakeOrderedAndProject — per-partition bounded heaps, no single-
     # partition shuffle of the full hit list), THEN row_number over the
@@ -198,6 +216,40 @@ def concordance_page(
         F.concat_ws(" ", F.slice("tokens", F.col("pos") + 1 + kw_len, context)
                     ).alias("right"),
     ).orderBy("rank")
+
+
+def _context_sorted_page(hits: DataFrame, docstore: DataFrame, offset: int,
+                         page_size: int, context: int, kw_len,
+                         order_extra: tuple[str, ...],
+                         sort: str) -> DataFrame:
+    """Context-ordered KWIC (the ``sort="left"/"right"`` modes): KWIC
+    columns materialize for every hit, the sort key is the context
+    text itself, and the bounded top-k happens on that key."""
+    joined = hits.join(docstore.select("doc_id", "tokens"), "doc_id")
+    left_start = F.greatest(F.lit(1), F.col("pos") + 1 - context)
+    left_arr = F.slice(
+        "tokens", left_start,
+        F.greatest(F.lit(0), F.col("pos") + 1 - left_start))
+    enriched = joined.select(
+        "doc_id", "pos", *order_extra,
+        F.concat_ws(" ", left_arr).alias("left"),
+        F.concat_ws(" ", F.slice("tokens", F.col("pos") + 1, kw_len))
+        .alias("kw"),
+        F.concat_ws(" ", F.slice("tokens", F.col("pos") + 1 + kw_len,
+                                 context)).alias("right"),
+        (F.concat_ws(" ", F.reverse(left_arr)) if sort == "left"
+         else F.concat_ws(" ", F.slice("tokens",
+                                       F.col("pos") + 1 + kw_len,
+                                       context))).alias("_sortkey"),
+    )
+    okeys = ["_sortkey", "doc_id", "pos", *order_extra]
+    top = enriched.orderBy(*okeys).limit(offset + page_size)
+    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))) \
+        .orderBy(*okeys)
+    return (top.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") > offset)
+            .select("rank", "doc_id", "pos", "left", "kw", "right")
+            .orderBy("rank"))
 
 
 def dedup_examples(examples: DataFrame, text_col: str = "kw_context",
