@@ -734,6 +734,55 @@ def q_cql_group_freq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.group_pattern_hits(CQL_HITS_PATTERN, k=20)
 
 
+def q_cql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic hit sample (BlackLab's ``sample`` request
+    parameter, reproducible variant): uniform over the pattern's
+    distinct spans via a per-span content hash; the top-n heap is the
+    only shuffle-free bound the plan needs."""
+    from word_sketch_lucene_spark.plans.cql import compile_cql
+    from word_sketch_lucene_spark.query.docs import sample_spans
+
+    spans = compile_cql(explode_tokens(_docs(spark, sf_dir)),
+                        CQL_HITS_PATTERN, keep_terms=False)
+    return sample_spans(spans.select("doc_id", "start", "end"),
+                        25, seed=7)
+
+
+def q_cql_sample_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INDEX-served twin: spans from the routed pattern tier,
+    sampling in-plan — ≤ n rows reach the driver on every route. Same
+    oracle as ``cql_sample``."""
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    s = IndexSearcher(spark, _contract_index_root(spark, sf_dir))
+    return s.sample_pattern_hits(CQL_HITS_PATTERN, 25, seed=7)
+
+
+def q_docs_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCS view (BlackLab ``/docs?group=field:...``): documents with
+    ≥1 hit of the shared pattern, grouped by ``(lang, source)`` with
+    doc and hit counts — facet cardinality bounds the result."""
+    from word_sketch_lucene_spark.plans.cql import compile_cql
+    from word_sketch_lucene_spark.query.docs import docs_facets
+
+    docs = _docs(spark, sf_dir)
+    spans = compile_cql(explode_tokens(docs), CQL_HITS_PATTERN,
+                        keep_terms=False)
+    return docs_facets(spans.select("doc_id", "start", "end"),
+                       docs.select("doc_id", "lang", "source"),
+                       ("lang", "source"))
+
+
+def q_docs_facets_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INDEX-served DOCS view: spans from the routed tier, facets
+    from the build-time ``doc_meta`` store. Same oracle as
+    ``docs_facets``."""
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    s = IndexSearcher(spark, _contract_index_root(spark, sf_dir))
+    return s.docs_group_by(CQL_HITS_PATTERN, ("lang", "source"))
+
+
 KEYWORDS_PREDICATE = "lang <> 'en'"
 
 
@@ -984,6 +1033,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keywords_g2_index": q_keywords_g2_index,
         "cql_group_freq": q_cql_group_freq,
         "cql_group_freq_index": q_cql_group_freq_index,
+        "cql_sample": q_cql_sample,
+        "cql_sample_index": q_cql_sample_index,
+        "docs_facets": q_docs_facets,
+        "docs_facets_index": q_docs_facets_index,
         "cql_hits_index": q_cql_hits_index,
         "cql_hits_filtered": q_cql_hits_filtered,
         "cql_layers_index": q_cql_layers_index,
@@ -1065,6 +1118,14 @@ def oracle_sql() -> dict[str, str]:
                                                       k=20),
         "cql_group_freq_index": osql.sql_group_pattern_hits(
             CQL_HITS_PATTERN, k=20),
+        "cql_sample": osql.sql_sample_pattern_hits(CQL_HITS_PATTERN,
+                                                   25, seed=7),
+        "cql_sample_index": osql.sql_sample_pattern_hits(
+            CQL_HITS_PATTERN, 25, seed=7),
+        "docs_facets": osql.sql_docs_facets(CQL_HITS_PATTERN,
+                                            ("lang", "source")),
+        "docs_facets_index": osql.sql_docs_facets(
+            CQL_HITS_PATTERN, ("lang", "source")),
         "cql_hits_index": osql.sql_pattern_hits(CQL_HITS_PATTERN,
                                                 spans_only=True),
         "cql_hits_filtered": osql.sql_pattern_hits(

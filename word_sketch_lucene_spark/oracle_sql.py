@@ -1234,6 +1234,59 @@ LIMIT {k}
 """.strip()
 
 
+def sql_sample_pattern_hits(pattern: str, n: int, seed: int = 0) -> str:
+    """Oracle for ``query.docs.sample_spans`` /
+    ``IndexSearcher.sample_pattern_hits``: the seeded deterministic hit
+    sample — distinct pattern spans keyed by the md5 hex of
+    ``seed:doc_id:start:end`` (hex-string collation matches Spark's
+    binary string order), rank over the key, first ``n``."""
+    steps, frm, where = _cql_joins(pattern)
+    last = len(steps) - 1
+    return f"""
+WITH {TOKENS_CTE},
+spans AS (
+  SELECT DISTINCT t0.doc_id AS doc_id, t0.pos AS start,
+         t{last}.pos AS "end"
+  FROM {frm}
+  WHERE {where}),
+keyed AS (
+  SELECT doc_id, start, "end",
+         md5(concat_ws(':', '{int(seed)}', doc_id, start, "end")) AS sk
+  FROM spans)
+SELECT row_number() OVER (ORDER BY sk) AS sample_rank,
+       doc_id, start, "end"
+FROM keyed
+ORDER BY sk
+LIMIT {n}
+""".strip()
+
+
+def sql_docs_facets(pattern: str,
+                    facet_cols: tuple[str, ...] = ("lang",)) -> str:
+    """Oracle for ``query.docs.docs_facets`` /
+    ``IndexSearcher.docs_group_by``: the DOCS view — per-document
+    distinct-span hit counts joined to document metadata, grouped by
+    the facet columns."""
+    steps, frm, where = _cql_joins(pattern)
+    last = len(steps) - 1
+    facet = ", ".join(facet_cols)
+    return f"""
+WITH {TOKENS_CTE},
+spans AS (
+  SELECT DISTINCT t0.doc_id AS doc_id, t0.pos AS start,
+         t{last}.pos AS "end"
+  FROM {frm}
+  WHERE {where}),
+per_doc AS (
+  SELECT doc_id, count(*) AS doc_hits FROM spans GROUP BY doc_id)
+SELECT {facet}, count(*) AS n_docs,
+       CAST(sum(doc_hits) AS BIGINT) AS hits
+FROM per_doc JOIN documents USING (doc_id)
+GROUP BY {facet}
+ORDER BY hits DESC, {facet}
+""".strip()
+
+
 def sql_subcorpus_keywords(predicate: str, k: int = 20) -> str:
     """Oracle for ``operators.keywords.subcorpus_keywords`` /
     ``IndexSearcher.subcorpus_keywords``: per-term (fa, fb) contingency

@@ -1243,6 +1243,41 @@ class IndexSearcher:
                                       within_sentence=within_sentence)
         return spans_group_freq(spans, tokens, layer_col, k)
 
+    def sample_pattern_hits(self, pattern: str, n: int,
+                            seed: int = 0,
+                            within_sentence: bool = False) -> DataFrame:
+        """INDEX-served deterministic hit sample (BlackLab's
+        ``sample``/``samplenumber`` parameters, seeded): spans from
+        whichever tier :meth:`pattern_spans_df` routes to, sampled by
+        the shared seeded-hash kernel — the top-n heap runs in-plan,
+        so only n rows ever reach the driver even on the distributed
+        route."""
+        from .docs import sample_spans
+
+        return sample_spans(
+            self.pattern_spans_df(pattern,
+                                  within_sentence=within_sentence),
+            n, seed=seed)
+
+    def docs_group_by(self, pattern: str,
+                      facet_cols: tuple[str, ...] = ("lang",),
+                      within_sentence: bool = False) -> DataFrame:
+        """INDEX-served DOCS view (BlackLab ``/docs?group=field:...``):
+        per-document hit counts for a pattern grouped by stored
+        ``doc_meta`` metadata fields. The facet aggregate is id-free,
+        so the index's dense internal doc ids never surface."""
+        from .docs import docs_facets
+
+        p = self.root / "doc_meta"
+        if not p.exists():
+            raise NotImplementedError(
+                "index has no doc_meta store — rebuild with build_index "
+                "over pages that carry metadata columns")
+        return docs_facets(
+            self.pattern_spans_df(pattern,
+                                  within_sentence=within_sentence),
+            self.spark.read.parquet(str(p)), facet_cols)
+
     def subcorpus_keywords(self, predicate: str, k: int = 20,
                            round_dp: int | None = 4) -> DataFrame:
         """INDEX-served keyword extraction: the subcorpus flag comes
