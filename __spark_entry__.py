@@ -734,6 +734,32 @@ def q_cql_group_freq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.group_pattern_hits(CQL_HITS_PATTERN, k=20)
 
 
+CQL_CONSTRAINT_PATTERN = \
+    '1:[word=".*"] [] 2:[word=".*"] & 1.word = 2.word'
+
+
+def q_cql_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-slot constraint (the Sketch-Engine grammar's
+    ``& 1.tag = 2.tag`` construct / BlackLab's ``::`` global
+    constraint): word reduplication at distance 2 — the constraint
+    compiles to a column equality Catalyst folds into the join."""
+    from word_sketch_lucene_spark.plans.cql import compile_cql
+
+    return compile_cql(explode_tokens(_docs(spark, sf_dir)),
+                       CQL_CONSTRAINT_PATTERN)
+
+
+def q_cql_constraint_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INDEX-served twin: constrained patterns route to the
+    forward-store distributed compile (layer values at matched
+    positions come from capture columns; the positional span chain is
+    guarded). Spans-only shape, same span set."""
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    s = IndexSearcher(spark, _contract_index_root(spark, sf_dir))
+    return s.pattern_spans_df(CQL_CONSTRAINT_PATTERN)
+
+
 def q_cql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded deterministic hit sample (BlackLab's ``sample`` request
     parameter, reproducible variant): uniform over the pattern's
@@ -1033,6 +1059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keywords_g2_index": q_keywords_g2_index,
         "cql_group_freq": q_cql_group_freq,
         "cql_group_freq_index": q_cql_group_freq_index,
+        "cql_constraint": q_cql_constraint,
+        "cql_constraint_index": q_cql_constraint_index,
         "cql_sample": q_cql_sample,
         "cql_sample_index": q_cql_sample_index,
         "docs_facets": q_docs_facets,
@@ -1118,6 +1146,9 @@ def oracle_sql() -> dict[str, str]:
                                                       k=20),
         "cql_group_freq_index": osql.sql_group_pattern_hits(
             CQL_HITS_PATTERN, k=20),
+        "cql_constraint": osql.sql_pattern_hits(CQL_CONSTRAINT_PATTERN),
+        "cql_constraint_index": osql.sql_pattern_hits(
+            CQL_CONSTRAINT_PATTERN, spans_only=True),
         "cql_sample": osql.sql_sample_pattern_hits(CQL_HITS_PATTERN,
                                                    25, seed=7),
         "cql_sample_index": osql.sql_sample_pattern_hits(

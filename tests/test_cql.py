@@ -306,3 +306,96 @@ def test_group_pattern_hits_index_path_identical(spark, toks, index_small,
     idx_rows = s.group_pattern_hits(pat, k=15).collect()
     assert [tuple(r) for r in df_rows] == [tuple(r) for r in idx_rows]
     assert len(df_rows) > 0
+
+
+# -------------------------------------------- inter-slot constraints
+def test_strip_constraints_parse():
+    from word_sketch_lucene_spark.plans.cql import (
+        SlotConstraint,
+        strip_constraints,
+    )
+
+    core, cons = strip_constraints(
+        '1:[word="a"] 2:[word="b"] & 1.word = 2.word')
+    assert core.strip() == '1:[word="a"] 2:[word="b"]'
+    assert cons == (SlotConstraint("1", "word", "2", "word"),)
+    # two constraints, BlackLab `::` and wsdef `&` forms, source order
+    core, cons = strip_constraints(
+        '1:[] 2:[] :: 1.lemma != 2.lemma & 1.xpos = 2.xpos')
+    assert cons == (SlotConstraint("1", "lemma", "2", "lemma", True),
+                    SlotConstraint("1", "xpos", "2", "xpos", False))
+    # the in-bracket `&` conjunction is never touched
+    core, cons = strip_constraints('[word="a" & lemma="b"]')
+    assert core == '[word="a" & lemma="b"]' and cons == ()
+
+
+def test_constraint_equality_dataframe(spark):
+    docs = [(0, "big big cat"), (1, "big red big"), (2, "dog dog cat")]
+    toks = explode_tokens(spark.createDataFrame(docs, ["doc_id", "text"]))
+    eq = compile_cql(toks, '1:[word=".*"] 2:[word=".*"] & 1.word = 2.word')
+    assert {(r["doc_id"], r["start"], r["end"]) for r in eq.collect()} \
+        == {(0, 0, 1), (2, 0, 1)}
+    # helper capture columns are dropped — shape matches the plain form
+    assert sorted(eq.columns) == sorted(
+        ["doc_id", "start", "end", "pos_1", "term_1", "pos_2", "term_2"])
+    ne = compile_cql(toks,
+                     '1:[word=".*"] 2:[word=".*"] & 1.word != 2.word')
+    assert {(r["doc_id"], r["start"], r["end"]) for r in ne.collect()} \
+        == {(0, 1, 2), (1, 0, 1), (1, 1, 2), (2, 1, 2)}
+    # constraint across a gap
+    gap = compile_cql(
+        toks, '1:[word="big"] []{0,1} 2:[word="big"] & 1.word = 2.word')
+    assert {(r["doc_id"], r["start"], r["end"]) for r in gap.collect()} \
+        == {(0, 0, 1), (1, 0, 2)}
+
+
+def test_constraint_multilayer_conllu(spark):
+    """Sketch-Engine coordination rule shape: `& 1.xpos = 2.xpos`
+    keeps only same-POS conjuncts (penn_3.1_en.txt's `1:"V.*" ...
+    2:"V.*" & 1.tag = 2.tag`)."""
+    from word_sketch_lucene_spark.sources.conllu import (
+        layer_tokens,
+        parse_conllu_docs,
+    )
+
+    lines = "\n".join([
+        "1\truns\trun\tVERB\tVBZ\t_\t0\tdep",
+        "2\tand\tand\tCCONJ\tCC\t_\t1\tdep",
+        "3\tjumps\tjump\tVERB\tVBZ\t_\t1\tdep",
+        "4\tand\tand\tCCONJ\tCC\t_\t1\tdep",
+        "5\tran\trun\tVERB\tVBD\t_\t1\tdep",
+    ])
+    lt = layer_tokens(parse_conllu_docs(spark.createDataFrame(
+        [("d1", lines)], "doc_id string, conllu string")))
+    pat = '1:[xpos="VB.*"] [word="and"] 2:[xpos="VB.*"] & 1.xpos = 2.xpos'
+    assert {(r["start"], r["end"])
+            for r in compile_cql(lt, pat).collect()} == {(0, 2)}
+    # same-lemma constraint reaches the run…ran pair across the gap
+    pat2 = ('1:[xpos="VB.*"] []{0,3} 2:[xpos="VB.*"] '
+            '& 1.lemma = 2.lemma')
+    assert {(r["start"], r["end"])
+            for r in compile_cql(lt, pat2).collect()} == {(0, 4)}
+
+
+def test_constraint_unknown_label_raises(toks):
+    with pytest.raises(ValueError, match="labels"):
+        compile_cql(toks, '1:[word="a"] [word="b"] & 1.word = 9.word')
+
+
+def test_constraint_index_route_identical(spark, toks, index_small,
+                                          docs_small):
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+
+    pat = '1:[word=".*"] [] 2:[word=".*"] & 1.word = 2.word'
+    s = IndexSearcher(spark, index_small)
+    want = {(r["doc_id"], r["start"], r["end"]) for r in
+            compile_cql(explode_tokens(docs_small), pat,
+                        keep_terms=False).collect()}
+    got = {(r["doc_id"], r["start"], r["end"])
+           for r in s.pattern_spans_df(pat).collect()}
+    assert got == want and len(want) > 0
+    # the in-driver span chain cannot evaluate constraints — guarded
+    with pytest.raises(NotImplementedError, match="pattern_spans_df"):
+        s.pattern_hits(pat)
+    # the auto router delegates to the distributed compile
+    assert set(s.pattern_hits_auto(pat)) == want

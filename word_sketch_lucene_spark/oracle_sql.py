@@ -1160,9 +1160,13 @@ def _cql_test_sql(test, alias: str, layers: dict[str, str] | None = None) -> str
 def _cql_joins(pattern: str, table: str = "tokens",
                layers: dict[str, str] | None = None) -> tuple[list, str, str]:
     """Shared FROM/WHERE fragments for a parsed pattern: returns
-    (steps, from_sql, where_sql) over aliases t0..tN of ``table``."""
-    from .plans.cql import _steps, parse_cql
+    (steps, from_sql, where_sql) over aliases t0..tN of ``table``.
+    Trailing inter-slot constraints (``& 1.tag = 2.tag`` /
+    ``:: a.lemma = b.lemma``) become cross-alias equality conds in the
+    WHERE fragment — every oracle built on this helper accepts them."""
+    from .plans.cql import _steps, parse_cql, strip_constraints
 
+    pattern, cons = strip_constraints(pattern)
     steps = _steps(parse_cql(pattern))
     frm = [f"{table} t0"]
     for i, st in enumerate(steps[1:], start=1):
@@ -1174,8 +1178,28 @@ def _cql_joins(pattern: str, table: str = "tokens",
         conds = [f"t{i}.doc_id = t0.doc_id", gap]
         conds += [_cql_test_sql(t, f"t{i}", layers) for t in st.item.tests]
         frm.append(f"JOIN {table} t{i} ON {' AND '.join(conds)}")
-    where = " AND ".join(_cql_test_sql(t, "t0", layers)
-                         for t in steps[0].item.tests)
+    conds0 = [_cql_test_sql(t, "t0", layers)
+              for t in steps[0].item.tests]
+    if cons:
+        label_ix = {st.item.label: i for i, st in enumerate(steps)
+                    if st.item.label is not None}
+
+        def _ccol(lab: str, attr: str) -> str:
+            if lab not in label_ix:
+                raise ValueError(f"constraint references position "
+                                 f"{lab!r} not labeled in the pattern")
+            alias = f"t{label_ix[lab]}"
+            if layers is not None:
+                return f"{alias}.{layers[attr]}"
+            if attr == "class":
+                return _wclass_case(f"{alias}.term")
+            return f"{alias}.term"
+
+        for c in cons:
+            op = "<>" if c.negated else "="
+            conds0.append(f"{_ccol(c.label_a, c.attr_a)} {op} "
+                          f"{_ccol(c.label_b, c.attr_b)}")
+    where = " AND ".join(conds0)
     return steps, "\n  ".join(frm), where or "TRUE"
 
 

@@ -78,6 +78,47 @@ class GapItem:
     max: int
 
 
+@dataclass(frozen=True)
+class SlotConstraint:
+    """One inter-slot constraint ``A.attr = B.attr`` between labeled
+    positions — the Sketch-Engine grammar construct
+    (``& 1.tag = 2.tag``, `/root/reference/grammars/penn_3.1_en.txt`
+    coordination rules) and BlackLab's global-constraint form
+    (``:: a.lemma = b.lemma``). Comparison is plain value equality on
+    the resolved layer (two ``_`` no-annotation values compare equal —
+    the join-key semantics both engines use)."""
+
+    label_a: str
+    attr_a: str
+    label_b: str
+    attr_b: str
+    negated: bool = False
+
+
+# trailing inter-slot constraints: `... & 1.tag = 2.tag` (wsdef) or
+# `... :: a.lemma = b.lemma` (BlackLab). Peeled right-to-left from the
+# pattern end, so the in-bracket `&` conjunction is never touched.
+_CONSTRAINT_RE = re.compile(
+    r"\s*(?:&|::)\s*(?P<la>\w+)\s*\.\s*(?P<aa>\w+)\s*"
+    r"(?P<op>!?=)\s*(?P<lb>\w+)\s*\.\s*(?P<ab>\w+)\s*$")
+
+
+def strip_constraints(pattern: str) \
+        -> tuple[str, tuple[SlotConstraint, ...]]:
+    """Split trailing inter-slot constraints off a BCQL string:
+    ``(core_pattern, constraints)`` in source order."""
+    cons: list[SlotConstraint] = []
+    while True:
+        m = _CONSTRAINT_RE.search(pattern)
+        if not m:
+            break
+        cons.append(SlotConstraint(m.group("la"), m.group("aa"),
+                                   m.group("lb"), m.group("ab"),
+                                   negated=m.group("op") == "!="))
+        pattern = pattern[:m.start()]
+    return pattern, tuple(reversed(cons))
+
+
 # a [...] body is a run of non-]/non-quote chars or whole quoted strings —
 # so a ']' INSIDE a quoted regex value (e.g. [word="[a-z]+"]) never
 # terminates the block (the reference's CqlUtils.splitCqlTokens rule)
@@ -484,6 +525,14 @@ def compile_cql(
     if isinstance(pattern, str):
         pattern, ws = strip_within_sentence(pattern)
         within_sentence = within_sentence or ws
+        pattern, constraints = strip_constraints(pattern)
+        if constraints:
+            return _compile_with_constraints(
+                tokens, pattern, constraints, keep_terms=keep_terms,
+                capture_attrs=capture_attrs,
+                within_sentence=within_sentence, distinct=distinct,
+                selective_broadcast=selective_broadcast,
+                capture_sent=capture_sent)
     items = parse_cql(pattern) if isinstance(pattern, str) else pattern
     if has_repetitions(items):
         # bounded token quantifiers: union of the concrete-length
@@ -560,6 +609,53 @@ def compile_cql(
                 out_cols.append(
                     F.col(f"x_{a}_{i}").alias(f"{a}_{st.item.label}"))
     out = cur.select(*out_cols)
+    return out.distinct() if distinct else out
+
+
+def _compile_with_constraints(
+    tokens: DataFrame,
+    core: str,
+    constraints: tuple[SlotConstraint, ...],
+    keep_terms: bool,
+    capture_attrs: tuple[str, ...],
+    within_sentence: bool,
+    distinct: bool,
+    selective_broadcast: bool,
+    capture_sent: bool,
+) -> DataFrame:
+    """Inter-slot constraints over the compiled core: the referenced
+    layers are captured at every labeled position (the existing
+    capture plumbing), each constraint becomes a column-equality
+    filter Catalyst folds into the join tree (an equality between two
+    join sides upgrades to an equi-join key — no post-join blowup),
+    and helper capture columns the caller didn't ask for are dropped
+    before the final distinct."""
+    items = parse_cql(core)
+    labels = [it.label for it in items
+              if isinstance(it, TokenItem) and it.label is not None]
+    for c in constraints:
+        for lab in (c.label_a, c.label_b):
+            if lab not in labels:
+                raise ValueError(
+                    f"constraint references position {lab!r} but the "
+                    f"pattern labels only {labels}")
+    need = []
+    for c in constraints:
+        for a in (c.attr_a, c.attr_b):
+            if a not in capture_attrs and a not in need:
+                need.append(a)
+    out = compile_cql(
+        tokens, items, keep_terms=keep_terms,
+        capture_attrs=tuple(capture_attrs) + tuple(need),
+        within_sentence=within_sentence, distinct=False,
+        selective_broadcast=selective_broadcast,
+        capture_sent=capture_sent)
+    for c in constraints:
+        lhs = F.col(f"{c.attr_a}_{c.label_a}")
+        rhs = F.col(f"{c.attr_b}_{c.label_b}")
+        out = out.filter(lhs != rhs if c.negated else lhs == rhs)
+    drop = {f"{a}_{lab}" for a in need for lab in labels}
+    out = out.drop(*[col for col in out.columns if col in drop])
     return out.distinct() if distinct else out
 
 

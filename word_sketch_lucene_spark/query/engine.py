@@ -659,11 +659,19 @@ class IndexSearcher:
             expand_repetitions,
             has_repetitions,
             parse_cql,
+            strip_constraints,
             strip_within_sentence,
         )
 
         pattern, ws = strip_within_sentence(pattern)
         within_sentence = within_sentence or ws
+        pattern, cons = strip_constraints(pattern)
+        if cons:
+            raise NotImplementedError(
+                "inter-slot constraints compare layer VALUES at matched "
+                "positions — the positional span chain only tracks "
+                "position sets; use pattern_spans_df (routes to the "
+                "forward-store distributed compile)")
         items = parse_cql(pattern)
         if has_repetitions(items):
             out_set: set[tuple[int, int, int]] = set()
@@ -1122,7 +1130,8 @@ class IndexSearcher:
         return True
 
     def _pattern_fallback_tokens(self, pattern: str,
-                                 within_sentence: bool):
+                                 within_sentence: bool,
+                                 extra_attrs: set[str] | None = None):
         """Column-pruned forward token table able to serve ``pattern``
         distributed, or ``None`` when the store is absent or lacks a
         tested layer (the pattern then stays on the capped index path,
@@ -1138,6 +1147,7 @@ class IndexSearcher:
         attrs = {effective_test(t).attr
                  for st in _steps(parse_cql(pattern))
                  for t in st.item.tests}
+        attrs |= extra_attrs or set()
         # the virtual `class` attr derives from the surface term column
         need = {"term" if a == "class" else DEFAULT_LAYERS.get(a, a)
                 for a in attrs}
@@ -1181,6 +1191,7 @@ class IndexSearcher:
         """
         from ..plans.cql import (
             compile_cql,
+            strip_constraints,
             strip_containing,
             strip_within_sentence,
         )
@@ -1198,6 +1209,34 @@ class IndexSearcher:
             return out
         pattern, ws = strip_within_sentence(pattern)
         within_sentence = within_sentence or ws
+        core, cons = strip_constraints(pattern)
+        if cons:
+            # inter-slot constraints need layer VALUES at two matched
+            # positions — the forward token table serves them as
+            # capture columns; the positional span chain only knows
+            # position sets, so constrained patterns always route to
+            # the distributed compile (the in-driver tier raises,
+            # naming this method)
+            tokens = self._pattern_fallback_tokens(
+                core, within_sentence,
+                extra_attrs={a for c in cons
+                             for a in (c.attr_a, c.attr_b)})
+            if tokens is None:
+                raise NotImplementedError(
+                    "inter-slot constraints need the forward token "
+                    "store carrying every constrained layer — rebuild "
+                    "with store_docstore=True / build_conllu_index, or "
+                    "use plans.cql.compile_cql over a token DataFrame")
+            out = (compile_cql(
+                tokens, pattern, keep_terms=False,
+                within_sentence=within_sentence,
+                selective_broadcast=self._selective_broadcast_safe(
+                    core))
+                .select("doc_id", "start", "end"))
+            if doc_filter is not None:
+                out = out.join(self._meta_allowed_df(doc_filter),
+                               "doc_id", "left_semi")
+            return out
         cost, capped = self.pattern_cost(pattern, max_terms_per_slot)
         tokens = None
         if cost > df_budget or capped:
@@ -1381,6 +1420,16 @@ class IndexSearcher:
                             pdf["end"].astype(int).tolist()))
         pattern, ws = strip_within_sentence(pattern)
         within_sentence = within_sentence or ws
+        from ..plans.cql import strip_constraints
+
+        if strip_constraints(pattern)[1]:
+            # constrained patterns only run on the distributed compile
+            pdf = (self.pattern_spans_df(
+                pattern, max_terms_per_slot, df_budget, within_sentence)
+                .orderBy("doc_id", "start", "end").toPandas())
+            return list(zip(pdf["doc_id"].astype(int).tolist(),
+                            pdf["start"].astype(int).tolist(),
+                            pdf["end"].astype(int).tolist()))
         cost, capped = self.pattern_cost(pattern, max_terms_per_slot)
         if cost <= df_budget and not capped:
             return self.pattern_hits(pattern, max_terms_per_slot,
