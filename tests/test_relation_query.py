@@ -206,8 +206,13 @@ def test_repetition_quantifier_parse_rules():
     assert isinstance(items[0], TokenItem)
     assert (items[0].rep_min, items[0].rep_max) == (1, 2)
     assert len(expand_repetitions(items)) == 2
+    # min 0 = OPTIONAL constrained token (the Sketch-Engine grammar
+    # form [tag="DT"]{0,1}); expansion emits the absent variant
+    opt = parse_cql('[xpos="JJ.*"]{0,2} [xpos="NN.*"]')
+    assert (opt[0].rep_min, opt[0].rep_max) == (0, 2)
+    assert len(expand_repetitions(opt)) == 3
     with pytest.raises(ValueError, match="repetition"):
-        parse_cql('[xpos="JJ.*"]{0,2} [xpos="NN.*"]')  # min 0 = use gaps
+        parse_cql('[xpos="JJ.*"]{3,2} [xpos="NN.*"]')  # min > max
     with pytest.raises(ValueError, match="variants"):
         expand_repetitions(parse_cql('[a="x"]{1,9} [b="y"]{1,9}'))
 

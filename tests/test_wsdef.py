@@ -1,0 +1,161 @@
+"""Sketch-Engine wsdef grammar loader + the quantifier DP compiler."""
+
+import os
+
+import pytest
+
+from word_sketch_lucene_spark.plans.cql import (
+    compile_cql,
+    expand_repetitions,
+    parse_cql,
+)
+from word_sketch_lucene_spark.plans.wsdef import load_wsdef, parse_wsdef
+
+REF_GRAMMAR = "/root/reference/grammars/penn_3.1_en.txt"
+
+WSDEF = """
+# tiny grammar exercising every construct the loader handles
+*STRUCTLIMIT s
+*DEFAULTATTR tag
+
+*FIXORDER ;a;b
+
+=coordination of "%w"
+*UNIMAP and_or
+*SYMMETRIC
+\t1:"VB.*" [word="and"] 2:"VB.*" & 1.tag = 2.tag
+
+*DUAL
+=objects of "%w"/verbs with "%w" as object
+*UNIMAP object/object_of
+\t1:"VB.*" [tag="DT"]{0,1} [tag="JJ"|tag="RB"]{0,2} 2:"NN.*"
+
+*UNARY
+=in passive
+*UNIMAP passive
+\t"VB.*"? 1:"VBN"
+"""
+
+
+def test_parse_wsdef_sections():
+    cat = parse_wsdef(WSDEF)
+    assert cat.catalog_structlimit is True
+    assert cat.skipped_unary == ["passive"]
+    by = {}
+    for r in cat.relations:
+        by.setdefault(r.id, []).append(r)
+    assert set(by) == {"and_or", "and_or__sym", "object", "object_of"}
+    # symmetric mirror swaps the labels, constraint included
+    a, s = by["and_or"][0], by["and_or__sym"][0]
+    assert '1:[tag="VB.*"]' in a.pattern and "1.tag = 2.tag" in a.pattern
+    assert s.pattern.index('2:[tag="VB.*"]') < s.pattern.index(
+        '1:[tag="VB.*"]')
+    # bare default-attr token + `?` + `{m,n}` + in-bracket `|` translate
+    o = by["object"][0]
+    assert o.pattern == ('1:[tag="VB.*"] [tag="DT"]{0,1} '
+                         '[tag="JJ"|tag="RB"]{0,2} 2:[tag="NN.*"]')
+    assert o.head_position == 1 and o.colloc_position == 4
+    # dual mirror keeps the swapped labels
+    of = by["object_of"][0]
+    assert of.pattern.startswith('2:[tag="VB.*"]')
+    # every emitted pattern parses in the engine dialect
+    from word_sketch_lucene_spark.plans.cql import strip_constraints
+
+    for r in cat.relations:
+        parse_cql(strip_constraints(r.pattern)[0])
+
+
+def test_parse_wsdef_keep_unary():
+    cat = parse_wsdef(WSDEF, skip_unary=False)
+    un = [r for r in cat.relations if r.extra.get("unary")]
+    assert [r.id for r in un] == ["passive"]
+    assert un[0].pattern == '[tag="VB.*"]{0,1} 1:[tag="VBN"]'
+
+
+@pytest.mark.skipif(not os.path.exists(REF_GRAMMAR),
+                    reason="reference grammar not present")
+def test_full_reference_grammar_parses():
+    """The COMPLETE shipped English Penn grammar loads: 54 directed
+    pattern entries over 30 relation ids, every pattern parseable by
+    the engine (quantifiers, cross-attr `|`, negated groups,
+    `& 1.tag = 2.tag` constraints)."""
+    from word_sketch_lucene_spark.plans.cql import strip_constraints
+
+    cat = load_wsdef(REF_GRAMMAR)
+    assert cat.catalog_structlimit is True
+    ids = {r.id for r in cat.relations}
+    assert len(cat.relations) == 54 and len(ids) == 30
+    assert {"object", "object_of", "subject", "subject_of", "and_or",
+            "and_or__sym", "modifier", "modifies"} <= ids
+    assert cat.skipped_unary == ["passive", "reflexive", "it", "it",
+                                 "it"]
+    for r in cat.relations:
+        core, cons = strip_constraints(r.pattern)
+        parse_cql(core)
+
+
+# ------------------------------------------------- quantifier DP path
+DP_PATTERNS = [
+    '1:[xpos="NN.*"] [xpos="RB.*"]{0,3} 2:[xpos="VB.*"]',
+    '1:[xpos="VB.*"] [xpos="RB"]{0,2} [xpos="DT"]{0,1} [xpos="CD"]{0,2}'
+    ' 2:[xpos="NN"]',
+    '1:[xpos="VB.*"] [xpos="RB"]{1,2} 2:[xpos="JJ.*"]',
+    '[xpos="DT"] [xpos="JJ"]{0,2} [xpos="NN.*"]{1,2} 1:[xpos="VB.*"] '
+    '[]{0,2} 2:[xpos="NN"]',
+]
+
+
+@pytest.fixture(scope="module")
+def dp_tokens(spark):
+    import random
+
+    random.seed(11)
+    tags = ["DT", "CD", "JJ", "JJR", "RB", "NN", "NNZ", "VB", "VBD",
+            "IN", "PP", ",", "WP"]
+    rows = []
+    for d in range(25):
+        for p in range(random.randint(5, 22)):
+            rows.append((d, p, f"w{random.randint(0, 20)}",
+                         f"l{random.randint(0, 10)}",
+                         random.choice(tags), p // 7))
+    return spark.createDataFrame(
+        rows, "doc_id long, pos long, term string, lemma string, "
+              "xpos string, sent_no long").localCheckpoint()
+
+
+@pytest.mark.parametrize("pat", DP_PATTERNS)
+def test_dp_equals_expansion(dp_tokens, pat):
+    """The interval-DP compile is row-identical to brute-force variant
+    expansion (the semantics oracle)."""
+    got = {tuple(r) for r in compile_cql(dp_tokens, pat).collect()}
+    exp = None
+    for v in expand_repetitions(parse_cql(pat), max_variants=4096):
+        b = compile_cql(dp_tokens, v)
+        exp = b if exp is None else exp.unionByName(b)
+    want = {tuple(r) for r in exp.distinct().collect()}
+    assert got == want
+
+
+def test_dp_handles_explosive_pattern(dp_tokens):
+    """The Sketch-Engine copula NP chunk — 2592 expansion variants —
+    compiles and runs as ONE linear plan (run-table joins), where
+    expansion is unusable."""
+    heavy = ('1:[xpos="NN.*"] [xpos="WP"]{0,1} [xpos="RB.*"]{0,5} '
+             '[xpos="VB.*"] [xpos="RB.*"]{0,2} [xpos="DT"]{0,1} '
+             '[xpos="CD"]{0,2} [xpos="JJ.*"|xpos="RB.*"|word=","]{0,3} '
+             '[xpos="NN.*"]{0,2} 2:[xpos="NN"] [xpos!="NN.*"]')
+    n = compile_cql(dp_tokens, heavy).count()
+    assert n >= 0  # completes; exactness pinned by the smaller shapes
+
+
+def test_dp_interval_end_enumeration(spark):
+    """A trailing optional filler yields one row per realizable end —
+    the interval state enumerates ends exactly."""
+    rows = [(0, 0, "v", "v", "VB", 0), (0, 1, "a", "a", "RB", 0),
+            (0, 2, "b", "b", "RB", 0), (0, 3, "n", "n", "NN", 0)]
+    tok = spark.createDataFrame(
+        rows, "doc_id long, pos long, term string, lemma string, "
+              "xpos string, sent_no long")
+    spans = {(r["start"], r["end"]) for r in compile_cql(
+        tok, '1:[xpos="VB"] [xpos="RB"]{0,2}').collect()}
+    assert spans == {(0, 0), (0, 1), (0, 2)}

@@ -1157,17 +1157,69 @@ def _cql_test_sql(test, alias: str, layers: dict[str, str] | None = None) -> str
     return f"NOT ({c})" if test.negated else c
 
 
+def _cql_item_sql(item, alias: str,
+                  layers: dict[str, str] | None = None) -> list[str]:
+    """One token item's full condition list: conjunctive tests plus,
+    when the item carries a cross-attr ``|`` disjunction, one
+    parenthesized OR-of-conjunctions (the SQL twin of
+    ``plans.cql._item_predicate``)."""
+    conds = [_cql_test_sql(t, alias, layers) for t in item.tests]
+    if item.alts:
+        branches = [
+            "(" + " AND ".join(_cql_test_sql(t, alias, layers)
+                               for t in group) + ")"
+            for group in item.alts]
+        conds.append("(" + " OR ".join(branches) + ")")
+    return conds
+
+
 def _cql_joins(pattern: str, table: str = "tokens",
                layers: dict[str, str] | None = None) -> tuple[list, str, str]:
     """Shared FROM/WHERE fragments for a parsed pattern: returns
     (steps, from_sql, where_sql) over aliases t0..tN of ``table``.
     Trailing inter-slot constraints (``& 1.tag = 2.tag`` /
     ``:: a.lemma = b.lemma``) become cross-alias equality conds in the
-    WHERE fragment — every oracle built on this helper accepts them."""
-    from .plans.cql import _steps, parse_cql, strip_constraints
+    WHERE fragment — every oracle built on this helper accepts them.
+    Token repetition quantifiers are a hard error here — each concrete
+    variant is its own join shape; use :func:`_cql_join_variants`."""
+    from .plans.cql import has_repetitions, parse_cql, strip_constraints
 
     pattern, cons = strip_constraints(pattern)
-    steps = _steps(parse_cql(pattern))
+    items = parse_cql(pattern)
+    if has_repetitions(items):
+        raise ValueError("pattern has token repetition quantifiers — "
+                         "use _cql_join_variants (one join shape per "
+                         "concrete-length variant)")
+    return _cql_joins_items(items, cons, table, layers)
+
+
+def _cql_join_variants(pattern: str, table: str = "tokens",
+                       layers: dict[str, str] | None = None
+                       ) -> list[tuple[list, str, str]]:
+    """Every concrete-length variant's ``(steps, from_sql, where_sql)``
+    — token repetition quantifiers expand exactly like
+    ``plans.cql.expand_repetitions``; callers UNION the per-variant
+    selects (span identity dedups across variants)."""
+    from .plans.cql import (
+        expand_repetitions,
+        has_repetitions,
+        parse_cql,
+        strip_constraints,
+    )
+
+    pattern, cons = strip_constraints(pattern)
+    items = parse_cql(pattern)
+    variants = (expand_repetitions(items) if has_repetitions(items)
+                else [items])
+    return [_cql_joins_items(v, cons, table, layers) for v in variants]
+
+
+def _cql_joins_items(items, cons, table: str = "tokens",
+                     layers: dict[str, str] | None = None
+                     ) -> tuple[list, str, str]:
+    from .plans.cql import _steps
+
+    steps = _steps(items)
     frm = [f"{table} t0"]
     for i, st in enumerate(steps[1:], start=1):
         if st.lo == st.hi:
@@ -1176,10 +1228,9 @@ def _cql_joins(pattern: str, table: str = "tokens",
             gap = (f"t{i}.pos BETWEEN t{i - 1}.pos + {st.lo} "
                    f"AND t{i - 1}.pos + {st.hi}")
         conds = [f"t{i}.doc_id = t0.doc_id", gap]
-        conds += [_cql_test_sql(t, f"t{i}", layers) for t in st.item.tests]
+        conds += _cql_item_sql(st.item, f"t{i}", layers)
         frm.append(f"JOIN {table} t{i} ON {' AND '.join(conds)}")
-    conds0 = [_cql_test_sql(t, "t0", layers)
-              for t in steps[0].item.tests]
+    conds0 = _cql_item_sql(steps[0].item, "t0", layers)
     if cons:
         label_ix = {st.item.label: i for i, st in enumerate(steps)
                     if st.item.label is not None}
@@ -1210,23 +1261,33 @@ def sql_pattern_hits(pattern: str, spans_only: bool = False,
     with capture columns, or bare ``(doc_id, start, end)`` spans.
     ``doc_filter`` restricts to documents passing a metadata predicate
     (the ``pattern_spans_df(doc_filter=…)`` twin)."""
-    steps, frm, where = _cql_joins(pattern)
-    last = len(steps) - 1
-    sel = [f"t0.doc_id AS doc_id", f"t0.pos AS start",
-           f"t{last}.pos AS \"end\""]
-    if not spans_only:
-        for i, st in enumerate(steps):
-            if st.item.label is not None:
-                sel.append(f"t{i}.pos AS pos_{st.item.label}")
-                sel.append(f"t{i}.term AS term_{st.item.label}")
-    if doc_filter:
-        where = (f"({where}) AND t0.doc_id IN "
-                 f"(SELECT doc_id FROM documents WHERE {doc_filter})")
+    selects = []
+    label_cols = None
+    for steps, frm, where in _cql_join_variants(pattern):
+        last = len(steps) - 1
+        sel = [f"t0.doc_id AS doc_id", f"t0.pos AS start",
+               f"t{last}.pos AS \"end\""]
+        labels = []
+        if not spans_only:
+            for i, st in enumerate(steps):
+                if st.item.label is not None:
+                    labels.append(st.item.label)
+                    sel.append(f"t{i}.pos AS pos_{st.item.label}")
+                    sel.append(f"t{i}.term AS term_{st.item.label}")
+        if label_cols is None:
+            label_cols = labels
+        elif labels != label_cols:
+            raise ValueError("labeled position inside a quantifier — "
+                             "variants disagree on capture columns")
+        if doc_filter:
+            where = (f"({where}) AND t0.doc_id IN "
+                     f"(SELECT doc_id FROM documents WHERE {doc_filter})")
+        selects.append(f"SELECT DISTINCT {', '.join(sel)}\n"
+                       f"FROM {frm}\nWHERE {where}")
+    union = "\nUNION\n".join(selects)
     return f"""
 WITH {TOKENS_CTE}
-SELECT DISTINCT {', '.join(sel)}
-FROM {frm}
-WHERE {where}
+{union}
 """.strip()
 
 

@@ -34,7 +34,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # chars whose presence makes a value a real regex; otherwise it is a
@@ -68,6 +68,13 @@ class TokenItem:
     label: str | None = None
     rep_min: int = 1
     rep_max: int = 1
+    # top-level `|` DISJUNCTION of test conjunctions inside one
+    # bracket (`[tag="JJ.*"|tag="RB.*"|word=","]`, the Sketch-Engine
+    # grammar form): the item matches when ANY branch's tests all
+    # hold. `tests` then holds shared conjunctive tests only (usually
+    # empty); same-attr single-test branches never reach here — the
+    # parser merges them into one alternation regex.
+    alts: list[list[AttrTest]] | None = None
 
 
 @dataclass
@@ -149,15 +156,15 @@ def _parse_body(body: str) -> list[AttrTest]:
     return tests
 
 
-def _split_amp(body: str) -> list[str]:
-    """Split on top-level ``&`` (not inside quotes)."""
+def _split_top(body: str, sep: str) -> list[str]:
+    """Split on a top-level single-char separator (not inside quotes)."""
     out, cur, in_q = [], [], False
     i = 0
     while i < len(body):
         c = body[i]
         if c == '"' and (i == 0 or body[i - 1] != "\\"):
             in_q = not in_q
-        if c == "&" and not in_q:
+        if c == sep and not in_q:
             out.append("".join(cur))
             cur = []
         else:
@@ -165,6 +172,44 @@ def _split_amp(body: str) -> list[str]:
         i += 1
     out.append("".join(cur))
     return [p for p in (s.strip() for s in out) if p]
+
+
+def _split_amp(body: str) -> list[str]:
+    """Split on top-level ``&`` (not inside quotes)."""
+    return _split_top(body, "&")
+
+
+def _parse_item_body(body: str) \
+        -> tuple[list[AttrTest], list[list[AttrTest]] | None]:
+    """Parse one bracket body into ``(tests, alts)``: a plain
+    conjunction yields ``(tests, None)``; a top-level ``|``
+    disjunction of SAME-attr positive single tests merges into one
+    alternation regex (stays on every fast path); anything else
+    becomes ``alts`` branches (OR of conjunctions)."""
+    body = body.strip()
+    if body.startswith("!(") and body.endswith(")"):
+        # negated group `!(a="x"|b="y")` (Sketch-Engine grammar form):
+        # De Morgan — same-attr branches fold to one negated
+        # alternation, mixed attrs to a conjunction of negations
+        groups = [_parse_body(b) for b in _split_top(body[2:-1], "|")]
+        if any(len(g) != 1 or g[0].negated for g in groups):
+            raise ValueError(f"negated group must OR single positive "
+                             f"tests: {body!r}")
+        if len({g[0].attr for g in groups}) == 1:
+            merged = "|".join(f"(?:{g[0].value})" for g in groups)
+            return [AttrTest(groups[0][0].attr, merged,
+                             negated=True)], None
+        return [AttrTest(g[0].attr, g[0].value, negated=True)
+                for g in groups], None
+    branches = _split_top(body, "|")
+    if len(branches) == 1:
+        return _parse_body(body), None
+    groups = [_parse_body(b) for b in branches]
+    if all(len(g) == 1 and not g[0].negated for g in groups) \
+            and len({g[0].attr for g in groups}) == 1:
+        merged = "|".join(f"(?:{g[0].value})" for g in groups)
+        return [AttrTest(groups[0][0].attr, merged)], None
+    return [], groups
 
 
 # BlackLab's sentence-span clause: `PATTERN within <s/>` constrains the
@@ -219,8 +264,9 @@ def parse_cql(pattern: str) -> list[TokenItem | GapItem]:
             items.append(TokenItem(
                 [AttrTest("word", re.escape(m.group("lit")))]))
         elif m.group("label") is not None:
-            items.append(TokenItem(_parse_body(m.group("lbody")),
-                                   label=m.group("label")))
+            tests, alts = _parse_item_body(m.group("lbody"))
+            items.append(TokenItem(tests, label=m.group("label"),
+                                   alts=alts))
         else:
             body = (m.group("body") or "").strip()
             gmin, gmax = m.group("gmin"), m.group("gmax")
@@ -234,12 +280,15 @@ def parse_cql(pattern: str) -> list[TokenItem | GapItem]:
                 rep_lo = rep_hi = 1
                 if gmin is not None:
                     rep_lo, rep_hi = int(gmin), int(gmax)
-                    if not 1 <= rep_lo <= rep_hi:
+                    # rep_min=0 = the Sketch-Engine grammar's OPTIONAL
+                    # constrained token ([tag="DT"]{0,1}); expansion
+                    # emits the absent variant
+                    if not 0 <= rep_lo <= rep_hi or rep_hi < 1:
                         raise ValueError(
-                            f"bad repetition bounds {{{rep_lo},{rep_hi}}} "
-                            "(min ≥ 1; optional tokens = a [] gap)")
-                items.append(TokenItem(_parse_body(body),
-                                       rep_min=rep_lo, rep_max=rep_hi))
+                            f"bad repetition bounds {{{rep_lo},{rep_hi}}}")
+                tests, alts = _parse_item_body(body)
+                items.append(TokenItem(tests, rep_min=rep_lo,
+                                       rep_max=rep_hi, alts=alts))
     # drop leading/trailing gaps (no anchor to attach to)
     while items and isinstance(items[0], GapItem):
         items.pop(0)
@@ -343,13 +392,27 @@ def expand_repetitions(items: list[TokenItem | GapItem],
     variants: list[list[TokenItem | GapItem]] = [[]]
     for it in items:
         if isinstance(it, TokenItem) and (it.rep_min, it.rep_max) != (1, 1):
-            unit = TokenItem(it.tests, label=it.label)
+            unit = TokenItem(it.tests, label=it.label, alts=it.alts)
             variants = [v + [unit] * k
                         for v in variants
                         for k in range(it.rep_min, it.rep_max + 1)]
         else:
             variants = [v + [it] for v in variants]
-    return variants
+    # rep_min=0 variants can strand gaps at the edges (an optional
+    # token next to a filler) — trim them like parse_cql does, and
+    # drop variants reduced to nothing
+    out = []
+    for v in variants:
+        while v and isinstance(v[0], GapItem):
+            v = v[1:]
+        while v and isinstance(v[-1], GapItem):
+            v = v[:-1]
+        if v:
+            out.append(v)
+    if not out:
+        raise ValueError("pattern expands to no non-empty variant "
+                         "(every token optional)")
+    return out
 
 
 def substitute_at_position(items: list[TokenItem | GapItem], value: str,
@@ -366,7 +429,8 @@ def substitute_at_position(items: list[TokenItem | GapItem], value: str,
             n += 1
             if n == position:
                 it = TokenItem([AttrTest(attr, re.escape(value))] + it.tests,
-                               label=it.label)
+                               label=it.label, rep_min=it.rep_min,
+                               rep_max=it.rep_max, alts=it.alts)
         out.append(it)
     if n < position:
         raise ValueError(f"pattern has {n} token positions, not {position}")
@@ -465,7 +529,23 @@ def _item_predicate(item: TokenItem, columns: list[str]) -> Column:
     for t in item.tests:
         t = effective_test(t)
         pred = pred & _test_col(t, _resolve_col(t.attr, columns))
+    if item.alts:
+        alt = F.lit(False)
+        for group in item.alts:
+            g = F.lit(True)
+            for t in group:
+                t = effective_test(t)
+                g = g & _test_col(t, _resolve_col(t.attr, columns))
+            alt = alt | g
+        pred = pred & alt
     return pred
+
+
+def has_alts(items: list[TokenItem | GapItem]) -> bool:
+    """True when any token carries a cross-attr ``|`` disjunction —
+    the in-driver span chain tracks per-LAYER position sets and cannot
+    union across layers, so these route to the distributed compile."""
+    return any(isinstance(it, TokenItem) and it.alts for it in items)
 
 
 def compile_cql(
@@ -477,6 +557,7 @@ def compile_cql(
     distinct: bool = True,
     selective_broadcast: bool = True,
     capture_sent: bool = False,
+    constraints: tuple[SlotConstraint, ...] = (),
 ) -> DataFrame:
     """Compile a pattern to the DataFrame of its matches.
 
@@ -525,18 +606,32 @@ def compile_cql(
     if isinstance(pattern, str):
         pattern, ws = strip_within_sentence(pattern)
         within_sentence = within_sentence or ws
-        pattern, constraints = strip_constraints(pattern)
-        if constraints:
-            return _compile_with_constraints(
-                tokens, pattern, constraints, keep_terms=keep_terms,
-                capture_attrs=capture_attrs,
-                within_sentence=within_sentence, distinct=distinct,
-                selective_broadcast=selective_broadcast,
-                capture_sent=capture_sent)
+        pattern, parsed_cons = strip_constraints(pattern)
+        constraints = tuple(constraints) + parsed_cons
     items = parse_cql(pattern) if isinstance(pattern, str) else pattern
+    if constraints:
+        return _compile_with_constraints(
+            tokens, items, constraints, keep_terms=keep_terms,
+            capture_attrs=capture_attrs,
+            within_sentence=within_sentence, distinct=distinct,
+            selective_broadcast=selective_broadcast,
+            capture_sent=capture_sent)
     if has_repetitions(items):
-        # bounded token quantifiers: union of the concrete-length
-        # variants (each variant is a plain join chain)
+        # bounded token quantifiers: a linear DP chain (one join per
+        # possible filler token, one union branch per optional count)
+        # — plan size Σrep_max, where naive variant expansion is
+        # Πrep (the Sketch-Engine NP chunks reach 2592 variants).
+        try:
+            return _compile_dp(tokens, items, keep_terms=keep_terms,
+                               capture_attrs=capture_attrs,
+                               within_sentence=within_sentence,
+                               distinct=distinct,
+                               selective_broadcast=selective_broadcast,
+                               capture_sent=capture_sent)
+        except _DPUnsupported:
+            pass
+        # leading-optional / labeled-quantifier shapes: bounded
+        # union of the concrete-length variants
         out = None
         for v in expand_repetitions(items):
             b = compile_cql(tokens, v, keep_terms=keep_terms,
@@ -564,8 +659,10 @@ def compile_cql(
 
     def _selective(item: TokenItem) -> bool:
         # a positive literal surface/lemma test bounds the slot by one
-        # form's cf — the broadcast-safe side of every positional join
-        return selective_broadcast and any(
+        # form's cf — the broadcast-safe side of every positional join.
+        # An `|` disjunction is NEVER selective: a literal in one
+        # branch does not bound the whole OR.
+        return selective_broadcast and not item.alts and any(
             t.is_literal and not t.negated
             and DEFAULT_LAYERS.get(effective_test(t).attr)
             in ("term", "lemma", "word_cs", "lemma_cs")
@@ -614,7 +711,7 @@ def compile_cql(
 
 def _compile_with_constraints(
     tokens: DataFrame,
-    core: str,
+    items: list[TokenItem | GapItem],
     constraints: tuple[SlotConstraint, ...],
     keep_terms: bool,
     capture_attrs: tuple[str, ...],
@@ -630,7 +727,6 @@ def _compile_with_constraints(
     join sides upgrades to an equi-join key — no post-join blowup),
     and helper capture columns the caller didn't ask for are dropped
     before the final distinct."""
-    items = parse_cql(core)
     labels = [it.label for it in items
               if isinstance(it, TokenItem) and it.label is not None]
     for c in constraints:
@@ -657,6 +753,188 @@ def _compile_with_constraints(
     drop = {f"{a}_{lab}" for a in need for lab in labels}
     out = out.drop(*[col for col in out.columns if col in drop])
     return out.distinct() if distinct else out
+
+
+class _DPUnsupported(Exception):
+    """Pattern shape the DP compiler hands back to variant expansion:
+    a quantifier on the leading token (no anchor row yet — ``start``
+    would itself be an interval) or on a labeled slot (capture
+    identity would be ambiguous)."""
+
+
+def _compile_dp(
+    tokens: DataFrame,
+    items: list[TokenItem | GapItem],
+    keep_terms: bool,
+    capture_attrs: tuple[str, ...],
+    within_sentence: bool,
+    distinct: bool,
+    selective_broadcast: bool,
+    capture_sent: bool,
+) -> DataFrame:
+    """Quantified patterns as a LINEAR plan — interval NFA simulation.
+
+    Variant expansion multiplies: the Sketch-Engine NP chunk
+    ``[DT]{0,1} [CD]{0,2} [JJ|RB|,]{0,3} [N]{0,2}`` alone is 72 join
+    shapes, whole patterns reach 2592. Chaining one join per possible
+    filler token is linear in joins but still explodes the LOGICAL
+    TREE (every optional count re-references the growing prefix plan;
+    the 17-join worst case took >400 s to even optimize). This
+    compiler instead advances one partial-match frontier left to
+    right with ONE operation per pattern item:
+
+    - Row state: ``(doc_id, start, [_elo,_ehi], [_lo,_hi])`` — the
+      INTERVAL of realizable last-taken positions and of positions
+      the next taken token may land on. Intervals are exact: every
+      point is realizable (proof: for a filler run ``[a,b]`` overlap
+      ``A=max(_lo,a), B=min(_hi,b)``, taking ``j∈[lo,hi]`` fillers
+      from ``s∈[A,B]`` reaches exactly ``q∈[A+lo, min(B+hi, b+1)]``).
+    - A ``{1,1}`` token: one equi-join (``pos`` in the window),
+      pinning both intervals to a point.
+    - A quantified filler ``F{lo,hi}``: one join against F's RUN
+      table (maximal consecutive F-positions per doc — a
+      sessionization groupBy, computed once per item), producing the
+      new interval per overlapping run; plus the skip branch
+      (``lo=0``) that keeps the state untouched.
+    - A gap widens ``[_lo,_hi]`` arithmetically — no operation.
+
+    Matches with different fill assignments collapse into one
+    interval row, so the frontier is SMALLER than the match set;
+    the final ``end`` enumerates ``sequence(_elo,_ehi)``. Output is
+    row-identical to variant expansion (pinned by the pytest
+    identity suite)."""
+    cols = tokens.columns
+    if within_sentence and "sent_no" not in cols:
+        raise ValueError("within_sentence=True needs a sent_no column "
+                         "(sources.conllu.layer_tokens emits it)")
+    token_items = [it for it in items if isinstance(it, TokenItem)]
+    if token_items and (token_items[0].rep_min, token_items[0].rep_max) \
+            != (1, 1):
+        raise _DPUnsupported("quantifier on the leading token")
+    if any(it.label is not None and (it.rep_min, it.rep_max) != (1, 1)
+           for it in token_items):
+        raise _DPUnsupported("quantifier on a labeled slot")
+
+    counter = [0]
+    state_caps: list[str] = []
+
+    def _state(extra=()):
+        base = ["doc_id", "start", "_elo", "_ehi", "_lo", "_hi"]
+        if within_sentence:
+            base.append("_sent")
+        return base + state_caps + list(extra)
+
+    def _take_one(cur, it: TokenItem):
+        counter[0] += 1
+        j = counter[0]
+        sel = [F.col("doc_id").alias(f"_d{j}"),
+               F.col("pos").alias(f"_p{j}")]
+        if within_sentence:
+            sel.append(F.col("sent_no").alias(f"_s{j}"))
+        cap_cols: list[tuple[str, str]] = []
+        if it.label is not None:
+            cap_cols.append((f"pos_{it.label}", f"_p{j}"))
+            if keep_terms:
+                sel.append(F.col("term").alias(f"_t{j}"))
+                cap_cols.append((f"term_{it.label}", f"_t{j}"))
+            for a in capture_attrs:
+                sel.append(_resolve_col(a, cols).alias(f"_x{a}{j}"))
+                cap_cols.append((f"{a}_{it.label}", f"_x{a}{j}"))
+        side = tokens.filter(_item_predicate(it, cols)).select(*sel)
+        p = F.col(f"_p{j}")
+        if cur is None:
+            out = side.select(
+                F.col(f"_d{j}").alias("doc_id"), p.alias("start"),
+                p.alias("_elo"), p.alias("_ehi"),
+                (p + 1).alias("_lo"), (p + 1).alias("_hi"),
+                *([F.col(f"_s{j}").alias("_sent")]
+                  if within_sentence else []),
+                *[F.col(src).alias(dst) for dst, src in cap_cols])
+        else:
+            cond = (F.col(f"_d{j}") == F.col("doc_id")) & \
+                   (p >= F.col("_lo")) & (p <= F.col("_hi"))
+            if within_sentence:
+                cond = cond & (F.col(f"_s{j}") == F.col("_sent"))
+            joined = (cur.join(F.broadcast(side), cond)
+                      if _dp_selective(it, selective_broadcast)
+                      else cur.join(side, cond))
+            out = joined.select(
+                "doc_id", "start", p.alias("_elo"), p.alias("_ehi"),
+                (p + 1).alias("_lo"), (p + 1).alias("_hi"),
+                *(["_sent"] if within_sentence else []),
+                *[F.col(c) for c in state_caps],
+                *[F.col(src).alias(dst) for dst, src in cap_cols])
+        for dst, _ in cap_cols:
+            state_caps.append(dst)
+        return out
+
+    def _take_run(cur, it: TokenItem):
+        """Extend by ``j ∈ [max(lo,1), hi]`` consecutive filler tokens
+        via the item's run table (one sessionization + one join)."""
+        counter[0] += 1
+        j = counter[0]
+        lo_ = max(it.rep_min, 1)
+        hi = it.rep_max
+        m = tokens.filter(_item_predicate(it, cols)).select(
+            F.col("doc_id").alias(f"_d{j}"),
+            F.col("pos").alias(f"_p{j}"),
+            *([F.col("sent_no").alias(f"_s{j}")]
+              if within_sentence else []))
+        part = [f"_d{j}"] + ([f"_s{j}"] if within_sentence else [])
+        w = Window.partitionBy(*part).orderBy(f"_p{j}")
+        runs = (m.withColumn("_g", F.col(f"_p{j}")
+                             - F.row_number().over(w))
+                .groupBy(*part, "_g")
+                .agg(F.min(f"_p{j}").alias("_a"),
+                     F.max(f"_p{j}").alias("_b"))
+                .drop("_g"))
+        A = F.greatest(F.col("_lo"), F.col("_a"))
+        B = F.least(F.col("_hi"), F.col("_b"))
+        qlo = A + lo_
+        qhi = F.least(B + hi, F.col("_b") + 1)
+        cond = (F.col(f"_d{j}") == F.col("doc_id")) & (A <= B) & \
+               (qlo <= qhi)
+        if within_sentence:
+            cond = cond & (F.col(f"_s{j}") == F.col("_sent"))
+        return cur.join(runs, cond).select(
+            "doc_id", "start",
+            (qlo - 1).alias("_elo"), (qhi - 1).alias("_ehi"),
+            qlo.alias("_lo"), qhi.alias("_hi"),
+            *(["_sent"] if within_sentence else []),
+            *[F.col(c) for c in state_caps])
+
+    cur = None
+    for it in items:
+        if isinstance(it, GapItem):
+            if cur is None:
+                continue  # parse_cql trims these; defensive
+            cur = cur.withColumn("_lo", F.col("_lo") + it.min) \
+                     .withColumn("_hi", F.col("_hi") + it.max)
+            continue
+        if (it.rep_min, it.rep_max) == (1, 1):
+            cur = _take_one(cur, it)
+        else:
+            taken = _take_run(cur, it)
+            cur = (cur.select(*_state()).unionByName(taken)
+                   if it.rep_min == 0 else taken)
+    out_cols = ["doc_id", "start"]
+    if capture_sent:
+        out_cols.append(F.col("_sent").alias("sent_no"))
+    out = cur.withColumn(
+        "end", F.explode(F.sequence(F.col("_elo"), F.col("_ehi"))))
+    out = out.select(*out_cols[:2], F.col("end"),
+                     *([F.col("_sent").alias("sent_no")]
+                       if capture_sent else []),
+                     *state_caps)
+    return out.distinct() if distinct else out
+
+
+def _dp_selective(item: TokenItem, selective_broadcast: bool) -> bool:
+    return selective_broadcast and not item.alts and any(
+        t.is_literal and not t.negated
+        and DEFAULT_LAYERS.get(effective_test(t).attr)
+        in ("term", "lemma", "word_cs", "lemma_cs")
+        for t in item.tests)
 
 
 def sentence_spans_containing(tokens: DataFrame,

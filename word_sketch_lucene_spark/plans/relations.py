@@ -241,11 +241,12 @@ def pattern_pos_group(rel: RelationConfig, position: int | None = None) -> str:
     position) — mirror of the reference's
     ``RelationUtils.computeHeadPosGroup`` (xpos prefix → group), used to
     select which relations apply to a NOUN/VERB/ADJ-headed sketch."""
-    from .cql import TokenItem, parse_cql
+    from .cql import TokenItem, parse_cql, strip_constraints
 
     if not rel.pattern:
         return rel.head_class or "OTHER"
-    items = [it for it in parse_cql(rel.pattern) if isinstance(it, TokenItem)]
+    items = [it for it in parse_cql(strip_constraints(rel.pattern)[0])
+             if isinstance(it, TokenItem)]
     pos = rel.head_position if position is None else position
     if not 1 <= pos <= len(items):
         return "OTHER"
@@ -301,6 +302,7 @@ def word_sketch_patterns(
         _resolve_col,
         compile_cql,
         parse_cql,
+        strip_constraints,
         substitute_at_position,
     )
 
@@ -354,7 +356,8 @@ def word_sketch_patterns(
             within_sentence=within_sentence,
             broadcast_head=not head_hot))
     for rel in slow:
-        items = parse_cql(rel.pattern)
+        core, cons = strip_constraints(rel.pattern)
+        items = parse_cql(core)
         pos_n = 0
         for it in items:
             if isinstance(it, TokenItem):
@@ -369,7 +372,8 @@ def word_sketch_patterns(
         matches = compile_cql(tokens, subst, capture_attrs=capture,
                               within_sentence=within_sentence,
                               distinct=False,
-                              selective_broadcast=not head_hot)
+                              selective_broadcast=not head_hot,
+                              constraints=cons)
         colloc_col = (f"{colloc_attr}_2" if colloc_attr else "term_2")
         pairs = matches.select(
             "doc_id", F.col("pos_1").alias("hp"),
@@ -400,10 +404,21 @@ def _two_slot_shape(rel: RelationConfig):
     from the first), or a ``dual`` one-constraint window relation.
     ``None`` → the relation keeps its own join branch (3+ slots,
     repetition quantifiers)."""
-    from .cql import TokenItem, _steps, has_repetitions, parse_cql
+    from .cql import (
+        TokenItem,
+        _steps,
+        has_alts,
+        has_repetitions,
+        parse_cql,
+        strip_constraints,
+    )
 
-    items = parse_cql(rel.pattern)
-    if has_repetitions(items):
+    core, cons = strip_constraints(rel.pattern)
+    items = parse_cql(core)
+    if has_repetitions(items) or has_alts(items) or cons:
+        # quantifiers change the join arity, cross-attr `|` needs the
+        # OR predicate, inter-slot constraints need capture columns —
+        # all compile_cql territory, not a single CASE-arm window join
         return None
     token_items = [it for it in items if isinstance(it, TokenItem)]
     labels = {it.label for it in token_items if it.label}
@@ -585,7 +600,8 @@ def _foldable_pattern(items, head_label: str, colloc_label: str):
     if (not items or not isinstance(items[0], TokenItem)
             or items[0].label != head_label):
         return None
-    if any(isinstance(it, TokenItem) and (it.rep_min, it.rep_max) != (1, 1)
+    if any(isinstance(it, TokenItem)
+           and ((it.rep_min, it.rep_max) != (1, 1) or it.alts)
            for it in items):
         return None
     if len(items) == 2:

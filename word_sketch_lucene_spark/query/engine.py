@@ -673,6 +673,14 @@ class IndexSearcher:
                 "position sets; use pattern_spans_df (routes to the "
                 "forward-store distributed compile)")
         items = parse_cql(pattern)
+        from ..plans.cql import has_alts
+
+        if has_alts(items):
+            raise NotImplementedError(
+                "cross-attr `|` disjunctions union positions ACROSS "
+                "layers — not expressible over per-layer postings; use "
+                "pattern_spans_df (routes to the forward-store "
+                "distributed compile)")
         if has_repetitions(items):
             out_set: set[tuple[int, int, int]] = set()
             for v in expand_repetitions(items):
@@ -1144,9 +1152,13 @@ class IndexSearcher:
             parse_cql,
         )
 
-        attrs = {effective_test(t).attr
-                 for st in _steps(parse_cql(pattern))
-                 for t in st.item.tests}
+        attrs = set()
+        for st in _steps(parse_cql(pattern)):
+            for t in st.item.tests:
+                attrs.add(effective_test(t).attr)
+            for group in st.item.alts or ():
+                for t in group:
+                    attrs.add(effective_test(t).attr)
         attrs |= extra_attrs or set()
         # the virtual `class` attr derives from the surface term column
         need = {"term" if a == "class" else DEFAULT_LAYERS.get(a, a)
@@ -1209,13 +1221,16 @@ class IndexSearcher:
             return out
         pattern, ws = strip_within_sentence(pattern)
         within_sentence = within_sentence or ws
+        from ..plans.cql import has_alts, parse_cql
+
         core, cons = strip_constraints(pattern)
-        if cons:
+        if cons or has_alts(parse_cql(core)):
             # inter-slot constraints need layer VALUES at two matched
-            # positions — the forward token table serves them as
-            # capture columns; the positional span chain only knows
-            # position sets, so constrained patterns always route to
-            # the distributed compile (the in-driver tier raises,
+            # positions, and cross-attr `|` disjunctions need a
+            # position-set union ACROSS layers — the forward token
+            # table serves both; the positional span chain only knows
+            # per-layer position sets, so these patterns always route
+            # to the distributed compile (the in-driver tier raises,
             # naming this method)
             tokens = self._pattern_fallback_tokens(
                 core, within_sentence,
@@ -1420,10 +1435,12 @@ class IndexSearcher:
                             pdf["end"].astype(int).tolist()))
         pattern, ws = strip_within_sentence(pattern)
         within_sentence = within_sentence or ws
-        from ..plans.cql import strip_constraints
+        from ..plans.cql import has_alts, parse_cql, strip_constraints
 
-        if strip_constraints(pattern)[1]:
-            # constrained patterns only run on the distributed compile
+        _core, _cons = strip_constraints(pattern)
+        if _cons or has_alts(parse_cql(_core)):
+            # constrained/disjunctive patterns only run on the
+            # distributed compile
             pdf = (self.pattern_spans_df(
                 pattern, max_terms_per_slot, df_budget, within_sentence)
                 .orderBy("doc_id", "start", "end").toPandas())
