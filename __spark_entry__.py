@@ -45,6 +45,12 @@ def _en_catalog():
     from word_sketch_lucene_spark.plans.relations import EN_CATALOG
 
     return GrammarCatalog.load(EN_CATALOG)
+
+
+def _wsdef_catalog():
+    from word_sketch_lucene_spark.plans.wsdef import parse_wsdef
+
+    return parse_wsdef(WSDEF_GRAMMAR)
 POSTINGS_TERMS = ["spark", "customer", "vector"]
 SKETCH_HEAD = "table"
 SEEDS = ["table", "row", "column"]
@@ -272,6 +278,50 @@ def q_word_sketch_conllu(spark: SparkSession, sf_dir: str) -> DataFrame:
     return word_sketch_patterns(
         lt, lemma_stats, SKETCH_HEAD, GrammarCatalog.load(EN_CATALOG),
         head_pos="NOUN", limit_per_relation=10, round_dp=4)
+
+
+WSDEF_GRAMMAR = """\
+*DEFAULTATTR tag
+
+=modifiers of "%w"
+*UNIMAP wmod
+\t2:"JJ" [tag="DT"]{0,1} 1:"NN.*"
+\t2:"JJ" [tag="JJ"|word="very"]{0,2} 1:"NN.*"
+
+*DUAL
+=objects of "%w"/verbs with "%w" as object
+*UNIMAP wobj/wobj_of
+\t1:"VB" [tag="DT"|word="the"]{0,2} 2:"NN.*"
+
+=coordination of "%w"
+*UNIMAP wcoord
+*SYMMETRIC
+\t1:"(NN|VB)" []{0,1} 2:"(NN|VB)" & 1.tag = 2.tag
+"""
+
+
+def q_word_sketch_wsdef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full word sketch from a Sketch-Engine ``.wsdef`` GRAMMAR FILE
+    (the reference ships its original SkE grammars beside the JSON
+    catalog — grammars/penn_3.1_en.txt): the loader compiles DUAL /
+    SYMMETRIC sections, bare default-attr tokens, optional-token
+    quantifiers, cross-attr ``|`` and ``& 1.tag = 2.tag`` constraints
+    into the same catalog shape, and the fan-out runs them through the
+    interval-DP compiler. Multi-line relations union under one id
+    before the count — SkE gramrel semantics."""
+    from word_sketch_lucene_spark.plans.relations import (
+        word_sketch_patterns,
+    )
+    from word_sketch_lucene_spark.plans.wsdef import parse_wsdef
+    from word_sketch_lucene_spark.sources.conllu import layer_tokens
+
+    lt = layer_tokens(_parsed_conllu(spark, sf_dir),
+                      sent_len=CONLLU_SENT_LEN)
+    lemma_stats = lt.groupBy(F.col("lemma").alias("term")) \
+        .agg(F.count("*").alias("cf"))
+    return word_sketch_patterns(
+        lt, lemma_stats, SKETCH_HEAD, parse_wsdef(WSDEF_GRAMMAR),
+        limit_per_relation=10, round_dp=4)
 
 
 def q_word_sketch_dep_conllu(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1039,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dep_sketch_conllu": q_dep_sketch_conllu,
         "dep_sketch_catalog": q_dep_sketch_catalog,
         "word_sketch_conllu": q_word_sketch_conllu,
+        "word_sketch_wsdef": q_word_sketch_wsdef,
         "word_sketch_dep_conllu": q_word_sketch_dep_conllu,
         "word_sketch_index_dist": q_word_sketch_index_dist,
         "word_sketch_store": q_word_sketch_store,
@@ -1120,6 +1171,8 @@ def oracle_sql() -> dict[str, str]:
             SKETCH_HEAD, _en_catalog(), head_pos="NOUN", k_per_relation=10),
         "word_sketch_store": osql.sql_word_sketch_conllu(
             SKETCH_HEAD, _en_catalog(), head_pos="NOUN", k_per_relation=10),
+        "word_sketch_wsdef": osql.sql_word_sketch_conllu(
+            SKETCH_HEAD, _wsdef_catalog(), k_per_relation=10),
         "cql_deprel": osql.sql_dep_sketch_conllu("scan", "nsubj"),
         "cql_deprel_index": osql.sql_dep_sketch_conllu("scan", "nsubj"),
         "relation_concordance": osql.sql_relation_concordance(

@@ -361,11 +361,24 @@ def sql_word_sketch_conllu(head: str, catalog, head_pos: str | None = None,
                            ) -> str:
     """Oracle for ``plans.relations.word_sketch_patterns`` over the
     CoNLL-U layer table: the SAME catalog enumeration (incl. the
-    ``head_pos`` group filter and the dual-window branch) generates one
-    UNION ALL subquery per relation, each substituting
-    ``lemma="head"`` at the head position and counting distinct
-    (doc, head-pos, colloc-pos) lemma pairs."""
-    from .plans.cql import TokenItem, _steps, parse_cql, substitute_at_position
+    ``head_pos`` group filter and the dual-window branch) generates
+    per-relation-ID subqueries, each substituting ``lemma="head"`` at
+    the head position and counting distinct (doc, head-pos,
+    colloc-pos) lemma pairs. Handles the full wsdef construct set:
+    token quantifiers (one UNION arm per concrete-length variant),
+    cross-attr ``|`` disjunctions, trailing inter-slot constraints,
+    and multiple pattern lines sharing one relation id (Sketch-Engine
+    gramrel union — the span sets merge BEFORE counting, mirroring the
+    engine's single count-distinct aggregate)."""
+    from .plans.cql import (
+        TokenItem,
+        _steps,
+        expand_repetitions,
+        has_repetitions,
+        parse_cql,
+        strip_constraints,
+        substitute_at_position,
+    )
     from .plans.relations import pattern_pos_group
 
     rels = [r for r in catalog.relations
@@ -382,32 +395,10 @@ def sql_word_sketch_conllu(head: str, catalog, head_pos: str | None = None,
           AS logdice,
         round(pair_freq / CAST(head_cf AS DOUBLE), 4) AS rel_freq
 """.strip()
-    branches = []
-    for rel in rels:
-        items = parse_cql(rel.pattern)
-        token_items = [it for it in items if isinstance(it, TokenItem)]
-        labels = {it.label for it in token_items if it.label}
-        if rel.dual and "2" not in labels:
-            citem = token_items[rel.head_position - 1]
-            tests = " AND ".join(
-                _cql_test_sql(t, "cc", CONLLU_SQL_LAYERS)
-                for t in citem.tests) or "TRUE"
-            branches.append(f"""
-(SELECT '{rel.id}' AS relation, colloc_term, pair_freq,
-        {score_head}
- FROM (SELECT colloc_term, count(*) AS pair_freq
-       FROM (SELECT DISTINCT hh.doc_id, hh.pos AS hp, cc.pos AS cp,
-                    cc.lemma AS colloc_term
-             FROM ann hh JOIN ann cc ON hh.doc_id = cc.doc_id
-              AND abs(cc.pos - hh.pos) BETWEEN 1 AND {rel.default_slop}
-             WHERE hh.lemma = '{head}' AND {tests})
-       GROUP BY colloc_term) p
-{score_tail}
-""".strip())
-            continue
-        subst = substitute_at_position(items, head, rel.head_position,
-                                       attr="lemma")
-        steps = _steps(subst)
+
+    def _variant_select(items, cons) -> str:
+        """One concrete-length variant's DISTINCT span-pair select."""
+        steps = _steps(items)
         hi = ci = None
         for i, st in enumerate(steps):
             if st.item.label == "1":
@@ -415,7 +406,7 @@ def sql_word_sketch_conllu(head: str, catalog, head_pos: str | None = None,
             if st.item.label == "2":
                 ci = i
         if hi is None or ci is None:
-            raise ValueError(f"relation {rel.id}: pattern lacks 1:/2: labels")
+            raise ValueError("pattern lacks 1:/2: labels")
         frm = ["ann t0"]
         for i, st in enumerate(steps[1:], start=1):
             if st.lo == st.hi:
@@ -424,20 +415,81 @@ def sql_word_sketch_conllu(head: str, catalog, head_pos: str | None = None,
                 gap = (f"t{i}.pos BETWEEN t{i - 1}.pos + {st.lo} "
                        f"AND t{i - 1}.pos + {st.hi}")
             conds = [f"t{i}.doc_id = t0.doc_id", gap]
-            conds += [_cql_test_sql(t, f"t{i}", CONLLU_SQL_LAYERS)
-                      for t in st.item.tests]
+            conds += _cql_item_sql(st.item, f"t{i}", CONLLU_SQL_LAYERS)
             frm.append(f"JOIN ann t{i} ON {' AND '.join(conds)}")
-        where = " AND ".join(_cql_test_sql(t, "t0", CONLLU_SQL_LAYERS)
-                             for t in steps[0].item.tests) or "TRUE"
+        where = _cql_item_sql(steps[0].item, "t0", CONLLU_SQL_LAYERS)
+        label_ix = {st.item.label: i for i, st in enumerate(steps)
+                    if st.item.label is not None}
+        for c in cons:
+            for lab in (c.label_a, c.label_b):
+                if lab not in label_ix:
+                    raise ValueError(f"constraint label {lab!r} not in "
+                                     f"pattern")
+            la = f"t{label_ix[c.label_a]}." \
+                 f"{CONLLU_SQL_LAYERS[c.attr_a]}"
+            lb = f"t{label_ix[c.label_b]}." \
+                 f"{CONLLU_SQL_LAYERS[c.attr_b]}"
+            where.append(f"{la} {'<>' if c.negated else '='} {lb}")
         frm_sql = "\n        ".join(frm)
-        branches.append(f"""
-(SELECT '{rel.id}' AS relation, colloc_term, pair_freq,
+        return (f"SELECT DISTINCT t0.doc_id, t{hi}.pos AS hp, "
+                f"t{ci}.pos AS cp, t{ci}.lemma AS colloc_term\n"
+                f"             FROM {frm_sql}\n"
+                f"             WHERE {' AND '.join(where) or 'TRUE'}")
+
+    # group pattern lines by relation id — one scored subquery per id
+    by_id: dict[str, list] = {}
+    order: list[str] = []
+    for rel in rels:
+        if rel.id not in by_id:
+            order.append(rel.id)
+        by_id.setdefault(rel.id, []).append(rel)
+    branches = []
+    for rid in order:
+        grp = by_id[rid]
+        dual0 = grp[0]
+        items0 = None
+        if dual0.dual:
+            labels0 = {it.label
+                       for it in parse_cql(dual0.pattern)
+                       if isinstance(it, TokenItem) and it.label}
+            if "2" not in labels0:
+                # dual single-position window relation (reference
+                # verb_nouns): the pattern IS the collocate constraint
+                citem = [it for it in parse_cql(dual0.pattern)
+                         if isinstance(it, TokenItem)][
+                             dual0.head_position - 1]
+                tests = " AND ".join(
+                    _cql_item_sql(citem, "cc", CONLLU_SQL_LAYERS)) \
+                    or "TRUE"
+                branches.append(f"""
+(SELECT '{rid}' AS relation, colloc_term, pair_freq,
         {score_head}
  FROM (SELECT colloc_term, count(*) AS pair_freq
-       FROM (SELECT DISTINCT t0.doc_id, t{hi}.pos AS hp, t{ci}.pos AS cp,
-                    t{ci}.lemma AS colloc_term
-             FROM {frm_sql}
-             WHERE {where})
+       FROM (SELECT DISTINCT hh.doc_id, hh.pos AS hp, cc.pos AS cp,
+                    cc.lemma AS colloc_term
+             FROM ann hh JOIN ann cc ON hh.doc_id = cc.doc_id
+              AND abs(cc.pos - hh.pos) BETWEEN 1 AND {dual0.default_slop}
+             WHERE hh.lemma = '{head}' AND {tests})
+       GROUP BY colloc_term) p
+{score_tail}
+""".strip())
+                continue
+        selects = []
+        for rel in grp:
+            core, cons = strip_constraints(rel.pattern)
+            items = parse_cql(core)
+            subst = substitute_at_position(items, head,
+                                           rel.head_position,
+                                           attr="lemma")
+            variants = (expand_repetitions(subst, max_variants=4096)
+                        if has_repetitions(subst) else [subst])
+            selects += [_variant_select(v, cons) for v in variants]
+        union = "\n             UNION\n             ".join(selects)
+        branches.append(f"""
+(SELECT '{rid}' AS relation, colloc_term, pair_freq,
+        {score_head}
+ FROM (SELECT colloc_term, count(*) AS pair_freq
+       FROM ({union})
        GROUP BY colloc_term) p
 {score_tail}
 """.strip())
