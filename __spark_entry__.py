@@ -47,10 +47,10 @@ def _en_catalog():
     return GrammarCatalog.load(EN_CATALOG)
 
 
-def _wsdef_catalog():
+def _wsdef_catalog(skip_unary: bool = True):
     from word_sketch_lucene_spark.plans.wsdef import parse_wsdef
 
-    return parse_wsdef(WSDEF_GRAMMAR)
+    return parse_wsdef(WSDEF_GRAMMAR, skip_unary=skip_unary)
 POSTINGS_TERMS = ["spark", "customer", "vector"]
 SKETCH_HEAD = "table"
 SEEDS = ["table", "row", "column"]
@@ -297,6 +297,16 @@ WSDEF_GRAMMAR = """\
 *UNIMAP wcoord
 *SYMMETRIC
 \t1:"(NN|VB)" []{0,1} 2:"(NN|VB)" & 1.tag = 2.tag
+
+*UNARY
+=before a verb
+*UNIMAP wverbal
+\t1:"NN.*" [tag="DT"]{0,1} "VB"
+
+*UNARY
+=determined
+*UNIMAP wdet
+\t"DT" []{0,1} 1:"NN.*"
 """
 
 
@@ -322,6 +332,21 @@ def q_word_sketch_wsdef(spark: SparkSession, sf_dir: str) -> DataFrame:
     return word_sketch_patterns(
         lt, lemma_stats, SKETCH_HEAD, parse_wsdef(WSDEF_GRAMMAR),
         limit_per_relation=10, round_dp=4)
+
+
+def q_word_sketch_unary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-Engine UNARY gramrels ('in passive'-style): the wsdef
+    grammar's *UNARY sections loaded with ``skip_unary=False``, served
+    as per-relation head match frequencies — one unioned compile, one
+    count-distinct aggregate."""
+    from word_sketch_lucene_spark.plans.relations import unary_counts
+    from word_sketch_lucene_spark.plans.wsdef import parse_wsdef
+    from word_sketch_lucene_spark.sources.conllu import layer_tokens
+
+    lt = layer_tokens(_parsed_conllu(spark, sf_dir),
+                      sent_len=CONLLU_SENT_LEN)
+    return unary_counts(lt, parse_wsdef(WSDEF_GRAMMAR,
+                                        skip_unary=False), SKETCH_HEAD)
 
 
 def q_word_sketch_dep_conllu(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1090,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dep_sketch_catalog": q_dep_sketch_catalog,
         "word_sketch_conllu": q_word_sketch_conllu,
         "word_sketch_wsdef": q_word_sketch_wsdef,
+        "word_sketch_unary": q_word_sketch_unary,
         "word_sketch_dep_conllu": q_word_sketch_dep_conllu,
         "word_sketch_index_dist": q_word_sketch_index_dist,
         "word_sketch_store": q_word_sketch_store,
@@ -1173,6 +1199,8 @@ def oracle_sql() -> dict[str, str]:
             SKETCH_HEAD, _en_catalog(), head_pos="NOUN", k_per_relation=10),
         "word_sketch_wsdef": osql.sql_word_sketch_conllu(
             SKETCH_HEAD, _wsdef_catalog(), k_per_relation=10),
+        "word_sketch_unary": osql.sql_unary_counts(
+            SKETCH_HEAD, _wsdef_catalog(skip_unary=False)),
         "cql_deprel": osql.sql_dep_sketch_conllu("scan", "nsubj"),
         "cql_deprel_index": osql.sql_dep_sketch_conllu("scan", "nsubj"),
         "relation_concordance": osql.sql_relation_concordance(

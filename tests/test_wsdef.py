@@ -159,3 +159,33 @@ def test_dp_interval_end_enumeration(spark):
     spans = {(r["start"], r["end"]) for r in compile_cql(
         tok, '1:[xpos="VB"] [xpos="RB"]{0,2}').collect()}
     assert spans == {(0, 0), (0, 1), (0, 2)}
+
+
+def test_unary_counts(spark):
+    """SkE *UNARY gramrels: per-relation head match frequencies;
+    zero-match relations are absent."""
+    from word_sketch_lucene_spark.plans.relations import unary_counts
+
+    g = """\
+*DEFAULTATTR tag
+*UNARY
+=before verb
+*UNIMAP u_v
+\t1:"NN" [tag="DT"]{0,1} "VB"
+
+*UNARY
+=never matches
+*UNIMAP u_zero
+\t1:"NN" [word="zzz"]
+"""
+    cat = parse_wsdef(g, skip_unary=False)
+    rows = [(0, 0, "cats", "cat", "NN", 0), (0, 1, "the", "the", "DT", 0),
+            (0, 2, "run", "run", "VB", 0), (0, 3, "cat", "cat", "NN", 0),
+            (0, 4, "sit", "sit", "VB", 0), (1, 0, "cat", "cat", "NN", 0)]
+    tok = spark.createDataFrame(
+        rows, "doc_id long, pos long, term string, lemma string, "
+              "xpos string, sent_no long")
+    got = [(r["relation"], r["freq"])
+           for r in unary_counts(tok, cat, "cat").collect()]
+    # doc0 pos0 (cat DT VB) and pos3 (cat VB) both match u_v; doc1 no VB
+    assert got == [("u_v", 2)]

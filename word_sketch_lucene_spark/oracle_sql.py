@@ -502,6 +502,78 @@ cf AS (SELECT lemma AS term, count(*) AS cf FROM ann GROUP BY lemma)
 """.strip()
 
 
+def sql_unary_counts(head: str, catalog) -> str:
+    """Oracle for ``plans.relations.unary_counts``: per-UNARY-relation
+    distinct (doc, head-pos) match counts over the CoNLL-U layer
+    table, same variant expansion / constraint handling as the sketch
+    oracle."""
+    from .plans.cql import (
+        _steps,
+        expand_repetitions,
+        has_repetitions,
+        parse_cql,
+        strip_constraints,
+        substitute_at_position,
+    )
+
+    rels = [r for r in catalog.relations
+            if r.pattern and r.extra.get("unary")]
+    branches = []
+    for rel in rels:
+        core, cons = strip_constraints(rel.pattern)
+        items = parse_cql(core)
+        subst = substitute_at_position(items, head, rel.head_position,
+                                       attr="lemma")
+        variants = (expand_repetitions(subst, max_variants=4096)
+                    if has_repetitions(subst) else [subst])
+        selects = []
+        for v in variants:
+            steps = _steps(v)
+            hi = next(i for i, st in enumerate(steps)
+                      if st.item.label == "1")
+            frm = ["ann t0"]
+            for i, st in enumerate(steps[1:], start=1):
+                if st.lo == st.hi:
+                    gap = f"t{i}.pos = t{i - 1}.pos + {st.lo}"
+                else:
+                    gap = (f"t{i}.pos BETWEEN t{i - 1}.pos + {st.lo} "
+                           f"AND t{i - 1}.pos + {st.hi}")
+                conds = [f"t{i}.doc_id = t0.doc_id", gap]
+                conds += _cql_item_sql(st.item, f"t{i}",
+                                       CONLLU_SQL_LAYERS)
+                frm.append(f"JOIN ann t{i} ON {' AND '.join(conds)}")
+            where = _cql_item_sql(steps[0].item, "t0",
+                                  CONLLU_SQL_LAYERS)
+            label_ix = {st.item.label: i for i, st in enumerate(steps)
+                        if st.item.label is not None}
+            for c in cons:
+                la = (f"t{label_ix[c.label_a]}."
+                      f"{CONLLU_SQL_LAYERS[c.attr_a]}")
+                lb = (f"t{label_ix[c.label_b]}."
+                      f"{CONLLU_SQL_LAYERS[c.attr_b]}")
+                where.append(f"{la} {'<>' if c.negated else '='} {lb}")
+            frm_sql = "\n         ".join(frm)
+            selects.append(
+                f"SELECT DISTINCT t0.doc_id, t{hi}.pos AS hp\n"
+                f"         FROM {frm_sql}\n"
+                f"         WHERE {' AND '.join(where) or 'TRUE'}")
+        union = "\n         UNION\n         ".join(selects)
+        branches.append(f"""
+(SELECT '{rel.id}' AS relation, count(*) AS freq
+ FROM ({union}))
+""".strip())
+    union_all = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH {TOKENS_CTE},
+{_conllu_layer_cte()}
+SELECT relation, freq FROM (
+{union_all}
+)
+WHERE freq > 0
+ORDER BY relation
+""".strip()
+
+
 def sql_multiseed_common(seeds: list[str], min_gap: int = 1, max_gap: int = 2,
                          limit_per_seed: int = 50, min_shared: int = 2) -> str:
     """SO1/A7/A8: per-seed top collocates → shared-count intersection."""

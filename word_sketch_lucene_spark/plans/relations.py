@@ -496,6 +496,48 @@ def _fast_window_pairs(tokens, fast, head, subst_attr, colloc_attr,
     )
 
 
+def unary_counts(
+    tokens: DataFrame,
+    catalog: GrammarCatalog,
+    head: str,
+    subst_attr: str = "lemma",
+    within_sentence: bool = False,
+) -> DataFrame:
+    """Sketch-Engine UNARY gramrels ("in passive", "as reflexive" —
+    ``*UNARY`` sections of a wsdef grammar, loaded with
+    ``parse_wsdef(…, skip_unary=False)``): no collocate slot, the
+    sketch shows the head's MATCH FREQUENCY per relation. Output
+    ``(relation, freq)`` — distinct head occurrences (doc, head-pos)
+    matched, relation-ordered. One compiled plan per relation unioned
+    before a single count-distinct aggregate (the word-sketch fan-out
+    shape without the scoring tail)."""
+    from .cql import compile_cql, parse_cql, strip_constraints
+    from .cql import substitute_at_position
+
+    rels = [r for r in catalog.relations
+            if r.pattern and r.extra.get("unary")]
+    if not rels:
+        return tokens.sparkSession.createDataFrame(
+            [], "relation string, freq long")
+    parts = []
+    for rel in rels:
+        core, cons = strip_constraints(rel.pattern)
+        items = parse_cql(core)
+        subst = substitute_at_position(items, head, rel.head_position,
+                                       attr=subst_attr)
+        m = compile_cql(tokens, subst, keep_terms=False,
+                        within_sentence=within_sentence,
+                        distinct=False, constraints=cons)
+        parts.append(m.select(F.lit(rel.id).alias("relation"),
+                              "doc_id", F.col("pos_1").alias("hp")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (out.groupBy("relation")
+            .agg(F.count_distinct("doc_id", "hp").alias("freq"))
+            .orderBy("relation"))
+
+
 def score_ranked_collocates(
     grouped: DataFrame,
     term_stats: DataFrame,
