@@ -1001,6 +1001,25 @@ def q_word_sketch_index_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         limit_per_relation=10, round_dp=4)
 
 
+def q_word_sketch_wsdef_index(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The wsdef-grammar sketch served from the INDEX as a distributed
+    plan: same Sketch-Engine catalog (optional tokens via interval-DP,
+    mixed-attr `|`, `& 1.tag = 2.tag`), token table from the
+    forward_layers store pruned to the grammar's tested layers,
+    stats from the layer dictionary. Same oracle as
+    ``word_sketch_wsdef``."""
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+    from word_sketch_lucene_spark.query.sketch import (
+        index_word_sketch_distributed,
+    )
+
+    s = IndexSearcher(spark, _contract_conllu_index_root(spark, sf_dir))
+    return index_word_sketch_distributed(
+        s, SKETCH_HEAD, _wsdef_catalog(), limit_per_relation=10,
+        round_dp=4)
+
+
 _COLLOC_STORE_CACHE: dict[str, bool] = {}
 
 
@@ -1116,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_sketch_conllu": q_word_sketch_conllu,
         "word_sketch_wsdef": q_word_sketch_wsdef,
         "word_sketch_unary": q_word_sketch_unary,
+        "word_sketch_wsdef_index": q_word_sketch_wsdef_index,
         "word_sketch_dep_conllu": q_word_sketch_dep_conllu,
         "word_sketch_index_dist": q_word_sketch_index_dist,
         "word_sketch_store": q_word_sketch_store,
@@ -1201,6 +1221,8 @@ def oracle_sql() -> dict[str, str]:
             SKETCH_HEAD, _wsdef_catalog(), k_per_relation=10),
         "word_sketch_unary": osql.sql_unary_counts(
             SKETCH_HEAD, _wsdef_catalog(skip_unary=False)),
+        "word_sketch_wsdef_index": osql.sql_word_sketch_conllu(
+            SKETCH_HEAD, _wsdef_catalog(), k_per_relation=10),
         "cql_deprel": osql.sql_dep_sketch_conllu("scan", "nsubj"),
         "cql_deprel_index": osql.sql_dep_sketch_conllu("scan", "nsubj"),
         "relation_concordance": osql.sql_relation_concordance(

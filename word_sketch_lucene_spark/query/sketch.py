@@ -183,7 +183,7 @@ def index_word_sketch_distributed(
     cold/huge-head case executor-side (the scale split the reference
     never needs at one node, ``BlackLabQueryExecutor.java:117-144``).
     """
-    from ..plans.cql import effective_test
+    from ..plans.cql import effective_test, strip_constraints
     from ..plans.relations import pattern_pos_group, word_sketch_patterns
 
     # request only the layer arrays this fan-out tests/captures — the
@@ -192,16 +192,25 @@ def index_word_sketch_distributed(
     need = {"term", DEFAULT_LAYERS[subst_attr], DEFAULT_LAYERS[colloc_attr]}
     if within_sentence:
         need.add("sent_no")
+
+    def _need_attr(a: str) -> None:
+        need.add("term" if a == "class" else DEFAULT_LAYERS.get(a, a))
+
     for rel in catalog.relations:
         if not rel.pattern or rel.type not in relation_types:
             continue
         if head_pos is not None and pattern_pos_group(rel) != head_pos:
             continue
-        for it in parse_cql(rel.pattern):
+        core, cons = strip_constraints(rel.pattern)
+        for c in cons:
+            _need_attr(c.attr_a)
+            _need_attr(c.attr_b)
+        for it in parse_cql(core):
             for t in getattr(it, "tests", ()):
-                a = effective_test(t).attr
-                need.add("term" if a == "class"
-                         else DEFAULT_LAYERS.get(a, a))
+                _need_attr(effective_test(t).attr)
+            for group in getattr(it, "alts", None) or ():
+                for t in group:
+                    _need_attr(effective_test(t).attr)
     tokens = searcher.forward_token_table(columns=need)
     if tokens is None or DEFAULT_LAYERS[subst_attr] not in tokens.columns:
         raise NotImplementedError(
