@@ -399,3 +399,32 @@ def test_constraint_index_route_identical(spark, toks, index_small,
         s.pattern_hits(pat)
     # the auto router delegates to the distributed compile
     assert set(s.pattern_hits_auto(pat)) == want
+
+
+def test_constraint_within_clause_order(spark):
+    """BlackLab writes global constraints LAST (`… within <s/> ::
+    a.w = b.w`); wsdef puts them before a trailing within — both
+    orders parse and bound the match to one sentence."""
+    from word_sketch_lucene_spark.sources.conllu import (
+        layer_tokens,
+        parse_conllu_docs,
+    )
+
+    # two sentences: xpos pairs only match same-tag within sentence 1
+    lines1 = "\n".join([
+        "1\ta\ta\tNOUN\tNN\t_\t0\tdep",
+        "2\tb\tb\tNOUN\tNN\t_\t1\tdep",
+    ])
+    lines2 = "\n".join([
+        "1\tc\tc\tVERB\tVB\t_\t0\tdep",
+    ])
+    lt = layer_tokens(parse_conllu_docs(spark.createDataFrame(
+        [("d1", lines1 + "\n\n" + lines2)],
+        "doc_id string, conllu string")))
+    for pat in (
+        '1:[xpos=".*"] 2:[xpos=".*"] & 1.xpos = 2.xpos within <s/>',
+        '1:[xpos=".*"] 2:[xpos=".*"] within <s/> :: 1.xpos = 2.xpos',
+    ):
+        got = {(r["start"], r["end"])
+               for r in compile_cql(lt, pat).collect()}
+        assert got == {(0, 1)}, pat

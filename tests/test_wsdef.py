@@ -102,6 +102,13 @@ DP_PATTERNS = [
     '1:[xpos="VB.*"] [xpos="RB"]{1,2} 2:[xpos="JJ.*"]',
     '[xpos="DT"] [xpos="JJ"]{0,2} [xpos="NN.*"]{1,2} 1:[xpos="VB.*"] '
     '[]{0,2} 2:[xpos="NN"]',
+    # same filler class SPLIT across an intervening optional (run
+    # capacity must not leak between the two RB quantifiers)
+    '1:[xpos="NN"] [xpos="WP"]{0,1} [xpos="RB"]{0,3} [xpos="VB.*"]{0,1}'
+    ' [xpos="RB"]{0,2} 2:[xpos="JJ.*"] [xpos!="NN.*"]',
+    # cross-attr `|` disjunction inside a quantified filler
+    '1:[xpos="NN"] [xpos="JJ.*"|xpos="RB.*"|word=","]{0,3} 2:[xpos="NN"]'
+    ' [xpos!="NN.*"]',
 ]
 
 

@@ -605,8 +605,11 @@ def compile_cql(
                          "sent_no)")
     if isinstance(pattern, str):
         pattern, ws = strip_within_sentence(pattern)
-        within_sentence = within_sentence or ws
         pattern, parsed_cons = strip_constraints(pattern)
+        # BlackLab writes constraints LAST (`… within <s/> :: a.w =
+        # b.w`), wsdef puts them before a within — accept both orders
+        pattern, ws2 = strip_within_sentence(pattern)
+        within_sentence = within_sentence or ws or ws2
         constraints = tuple(constraints) + parsed_cons
     items = parse_cql(pattern) if isinstance(pattern, str) else pattern
     if constraints:

@@ -1224,6 +1224,8 @@ class IndexSearcher:
         from ..plans.cql import has_alts, parse_cql
 
         core, cons = strip_constraints(pattern)
+        core, ws2 = strip_within_sentence(core)
+        within_sentence = within_sentence or ws2
         if cons or has_alts(parse_cql(core)):
             # inter-slot constraints need layer VALUES at two matched
             # positions, and cross-attr `|` disjunctions need a
@@ -1438,6 +1440,7 @@ class IndexSearcher:
         from ..plans.cql import has_alts, parse_cql, strip_constraints
 
         _core, _cons = strip_constraints(pattern)
+        _core, _ws2 = strip_within_sentence(_core)
         if _cons or has_alts(parse_cql(_core)):
             # constrained/disjunctive patterns only run on the
             # distributed compile
