@@ -298,6 +298,11 @@ WSDEF_GRAMMAR = """\
 *SYMMETRIC
 \t1:"(NN|VB)" []{0,1} 2:"(NN|VB)" & 1.tag = 2.tag
 
+*TRINARY
+="%w" %(3.lemma) ...
+*UNIMAP wvia
+\t1:"NN.*" 3:"VB" [tag="DT"]{0,1} 2:"NN.*"
+
 *UNARY
 =before a verb
 *UNIMAP wverbal

@@ -196,3 +196,32 @@ def test_unary_counts(spark):
            for r in unary_counts(tok, cat, "cat").collect()]
     # doc0 pos0 (cat DT VB) and pos3 (cat VB) both match u_v; doc1 no VB
     assert got == [("u_v", 2)]
+
+
+def test_trinary_sub_relations(spark):
+    """SkE *TRINARY gramrels: the 3: slot's lemma parameterizes the
+    relation id — one sub-relation per value, separately ranked."""
+    from word_sketch_lucene_spark.plans.relations import (
+        word_sketch_patterns,
+    )
+    from pyspark.sql import functions as F
+
+    g = """\
+*DEFAULTATTR tag
+*TRINARY
+="%w" %(3.lemma) ...
+*UNIMAP pp
+\t1:"NN" 3:"IN" 2:"NN"
+"""
+    cat = parse_wsdef(g)
+    rows = [(0, 0, "cat", "cat", "NN"), (0, 1, "in", "in", "IN"),
+            (0, 2, "box", "box", "NN"), (0, 3, "cat", "cat", "NN"),
+            (0, 4, "on", "on", "IN"), (0, 5, "mat", "mat", "NN")]
+    tok = spark.createDataFrame(
+        rows, "doc_id long, pos long, term string, lemma string, "
+              "xpos string")
+    stats = tok.groupBy(F.col("lemma").alias("term")) \
+        .agg(F.count("*").alias("cf"))
+    got = {(r["relation"], r["colloc_term"], r["pair_freq"])
+           for r in word_sketch_patterns(tok, stats, "cat", cat).collect()}
+    assert got == {("pp/in", "box", 1), ("pp/on", "mat", 1)}

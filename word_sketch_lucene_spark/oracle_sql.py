@@ -396,17 +396,23 @@ def sql_word_sketch_conllu(head: str, catalog, head_pos: str | None = None,
         round(pair_freq / CAST(head_cf AS DOUBLE), 4) AS rel_freq
 """.strip()
 
-    def _variant_select(items, cons) -> str:
-        """One concrete-length variant's DISTINCT span-pair select."""
+    def _variant_select(items, cons, rid: str) -> str:
+        """One concrete-length variant's DISTINCT span-pair select —
+        emits the ``relation`` id, parameterized by the ``3:`` slot's
+        lemma when present (Sketch-Engine TRINARY gramrels)."""
         steps = _steps(items)
-        hi = ci = None
+        hi = ci = ti = None
         for i, st in enumerate(steps):
             if st.item.label == "1":
                 hi = i
             if st.item.label == "2":
                 ci = i
+            if st.item.label == "3":
+                ti = i
         if hi is None or ci is None:
             raise ValueError("pattern lacks 1:/2: labels")
+        rel_sql = (f"'{rid}'" if ti is None
+                   else f"'{rid}' || '/' || t{ti}.lemma")
         frm = ["ann t0"]
         for i, st in enumerate(steps[1:], start=1):
             if st.lo == st.hi:
@@ -431,8 +437,9 @@ def sql_word_sketch_conllu(head: str, catalog, head_pos: str | None = None,
                  f"{CONLLU_SQL_LAYERS[c.attr_b]}"
             where.append(f"{la} {'<>' if c.negated else '='} {lb}")
         frm_sql = "\n        ".join(frm)
-        return (f"SELECT DISTINCT t0.doc_id, t{hi}.pos AS hp, "
-                f"t{ci}.pos AS cp, t{ci}.lemma AS colloc_term\n"
+        return (f"SELECT DISTINCT {rel_sql} AS relation, t0.doc_id, "
+                f"t{hi}.pos AS hp, t{ci}.pos AS cp, "
+                f"t{ci}.lemma AS colloc_term\n"
                 f"             FROM {frm_sql}\n"
                 f"             WHERE {' AND '.join(where) or 'TRUE'}")
 
@@ -483,15 +490,24 @@ def sql_word_sketch_conllu(head: str, catalog, head_pos: str | None = None,
                                            attr="lemma")
             variants = (expand_repetitions(subst, max_variants=4096)
                         if has_repetitions(subst) else [subst])
-            selects += [_variant_select(v, cons) for v in variants]
+            selects += [_variant_select(v, cons, rid) for v in variants]
         union = "\n             UNION\n             ".join(selects)
+        # window-based top-k PER relation value: a plain-id group has
+        # one relation (the old per-branch LIMIT), a TRINARY group has
+        # one sub-relation per 3:-slot lemma — the window matches the
+        # engine's Window.partitionBy("relation") exactly
         branches.append(f"""
-(SELECT '{rid}' AS relation, colloc_term, pair_freq,
+(SELECT relation, colloc_term, pair_freq, logdice, rel_freq
+ FROM (SELECT *, row_number() OVER (PARTITION BY relation
+                ORDER BY logdice DESC, colloc_term ASC) AS rn
+       FROM (SELECT relation, colloc_term, pair_freq,
         {score_head}
- FROM (SELECT colloc_term, count(*) AS pair_freq
+ FROM (SELECT relation, colloc_term, count(*) AS pair_freq
        FROM ({union})
-       GROUP BY colloc_term) p
-{score_tail}
+       GROUP BY relation, colloc_term) p
+ JOIN cf c ON p.colloc_term = c.term
+ CROSS JOIN (SELECT cf AS head_cf FROM cf WHERE term = '{head}') h) s)
+ WHERE rn <= {k_per_relation})
 """.strip())
     union = "\nUNION ALL\n".join(branches)
     return f"""

@@ -375,13 +375,21 @@ def word_sketch_patterns(
                               selective_broadcast=not head_hot,
                               constraints=cons)
         colloc_col = (f"{colloc_attr}_2" if colloc_attr else "term_2")
+        # Sketch-Engine TRINARY gramrels: a 3: slot parameterizes the
+        # relation NAME (`%(3.lemma)` — prepositional phrases become
+        # one sub-relation per preposition); the slot's captured layer
+        # folds into the relation id, so grouping/scoring/top-k all
+        # run per sub-relation with no extra machinery
+        third_col = (f"{colloc_attr}_3" if colloc_attr else "term_3")
+        rel_col = (F.concat_ws("/", F.lit(rel.id), F.col(third_col))
+                   if third_col in matches.columns
+                   else F.lit(rel.id))
         pairs = matches.select(
+            rel_col.alias("relation"),
             "doc_id", F.col("pos_1").alias("hp"),
             F.col("pos_2").alias("cp"),
             F.col(colloc_col).alias("colloc_term"))
-        pair_parts.append(pairs.select(
-            F.lit(rel.id).alias("relation"), "doc_id", "hp", "cp",
-            "colloc_term"))
+        pair_parts.append(pairs)
     all_pairs = pair_parts[0]
     for p in pair_parts[1:]:
         all_pairs = all_pairs.unionByName(p)
