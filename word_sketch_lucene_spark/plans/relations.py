@@ -355,7 +355,7 @@ def word_sketch_patterns(
             tokens, fast, head, subst_attr, colloc_attr, cols,
             within_sentence=within_sentence,
             broadcast_head=not head_hot))
-    for rel in slow:
+    def _build_branch(rel: RelationConfig) -> DataFrame:
         core, cons = strip_constraints(rel.pattern)
         items = parse_cql(core)
         pos_n = 0
@@ -384,12 +384,18 @@ def word_sketch_patterns(
         rel_col = (F.concat_ws("/", F.lit(rel.id), F.col(third_col))
                    if third_col in matches.columns
                    else F.lit(rel.id))
-        pairs = matches.select(
+        return matches.select(
             rel_col.alias("relation"),
             "doc_id", F.col("pos_1").alias("hp"),
             F.col("pos_2").alias("cp"),
             F.col(colloc_col).alias("colloc_term"))
-        pair_parts.append(pairs)
+
+    # NOTE plan CONSTRUCTION cost for quantified catalogs is
+    # driver/JVM-bound (hundreds of plan nodes per DP chain; measured
+    # ~0.5 s/relation warm). A thread pool over the branches was tried
+    # and does NOT help — py4j fans out but the JVM-side expression
+    # analysis serializes — so the build stays sequential and simple.
+    pair_parts += [_build_branch(rel) for rel in slow]
     all_pairs = pair_parts[0]
     for p in pair_parts[1:]:
         all_pairs = all_pairs.unionByName(p)
