@@ -176,13 +176,14 @@ def test_word_sketch_patterns_reuses_cached_token_table(spark, docs_small):
     cat = GrammarCatalog.load(EN_CATALOG)
     sk = word_sketch_patterns(toks, stats, "table", cat, head_pos="NOUN")
     plan = _plan(sk)
-    # every branch side reads the cache: with ~7 NOUN-headed relations
-    # × 2-3 token projections + stats lookups, the cached tables must
-    # appear as InMemoryTableScan leaves throughout the fan-out.
+    # every probe side reads the cache (r6: the extended window fold
+    # collapsed the per-relation join branches into CASE arms of ONE
+    # window join + one neighbor pivot, so the count dropped from ≥10
+    # to a handful — head side, pivot probe, window probe, stats).
     # (Counting FileScans in the string is misleading — InMemoryRelation
     # nodes re-print their cached child plan including its FileScan.)
     n_cached_reads = plan.count("InMemoryTableScan")
-    assert n_cached_reads >= 10, f"only {n_cached_reads} cached reads"
+    assert n_cached_reads >= 3, f"only {n_cached_reads} cached reads"
     # round-4 fan-out shape: the WHOLE relation fan-out shares ONE
     # scoring tail — exactly one per-relation top-k window, and the
     # vocab-stats lookup joins once (its cf column appears in one join
@@ -224,8 +225,72 @@ def test_sketch_fanout_branch_joins_broadcast(spark, docs_small):
     sk = word_sketch_patterns(toks, stats, "table", cat, head_pos="NOUN")
     plan = _plan(sk)
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 5
+    # r6: the extended fold serves every NOUN relation from ONE window
+    # join (+ one neighbor pivot + the stats join) — ≥5 broadcast
+    # branches collapsed to a constant-size join set
+    assert 2 <= plan.count("BroadcastHashJoin") <= 4
     # one count-distinct aggregate dedups every branch — no per-branch
     # distinct exchanges (41 branches would be 41 shuffles)
     assert plan.count("Window [") == 1
     release_all()
+
+
+def test_extended_fold_identity_with_compile_branches(spark, docs_small,
+                                                      monkeypatch):
+    """r6 extended window fold (quantified fillers, fixed mid tokens,
+    cross-attr alts, inter-slot constraints, trinary 3: slots) must be
+    ROW-IDENTICAL to the per-relation compile_cql branches it
+    replaced — same fan-out, same counting unit, same scores."""
+    from word_sketch_lucene_spark.caching import release_all
+    from word_sketch_lucene_spark.plans import relations as R
+    from word_sketch_lucene_spark.plans.wsdef import parse_wsdef
+
+    grammar = """\
+*DEFAULTATTR tag
+
+=modifiers of "%w"
+*UNIMAP xmod
+\t2:"JJ" [tag="DT"]{0,1} 1:"NN.*"
+\t2:"JJ" [tag="JJ"|word="very"]{0,2} 1:"NN.*"
+
+*DUAL
+=objects of "%w"/verbs with "%w" as object
+*UNIMAP xobj/xobj_of
+\t1:"VB" [tag="DT"|word="the"]{0,2} 2:"NN.*"
+
+=coordination of "%w"
+*UNIMAP xcoord
+*SYMMETRIC
+\t1:"(NN|VB)" []{0,1} 2:"(NN|VB)" & 1.tag = 2.tag
+
+*TRINARY
+="%w" %(3.lemma) ...
+*UNIMAP xvia
+\t1:"NN.*" 3:"VB" [tag="DT"]{0,1} 2:"NN.*"
+
+=fixed mid
+*UNIMAP xmid
+\t1:"NN.*" [word="of"] 2:"NN.*"
+"""
+    cat = parse_wsdef(grammar)
+    toks = explode_tokens(docs_small).select(
+        "doc_id", "pos", "term", F.col("term").alias("lemma"),
+        F.when(F.col("term").isin("table", "row", "data", "key"), "NN")
+        .when(F.col("term").isin("scan", "merge", "join"), "VB")
+        .when(F.col("term").isin("fast", "slow"), "JJ")
+        .when(F.col("term").isin("the", "a"), "DT")
+        .otherwise("XX").alias("xpos"))
+    stats = toks.groupBy(F.col("lemma").alias("term")).agg(
+        F.count("*").alias("cf"))
+
+    def run():
+        df = R.word_sketch_patterns(toks, stats, "table", cat,
+                                    limit_per_relation=10, round_dp=4)
+        rows = sorted(tuple(r) for r in df.collect())
+        release_all()
+        return rows
+
+    folded = run()
+    monkeypatch.setattr(R, "_extended_fold_shape", lambda *a, **k: None)
+    unfolded = run()
+    assert folded == unfolded and len(folded) > 0

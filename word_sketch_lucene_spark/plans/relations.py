@@ -337,11 +337,16 @@ def word_sketch_patterns(
     # tests). Only 3-slot patterns (copula shapes) stay join branches:
     # N relations must not cost N broadcast-build stages.
     fast: list[tuple] = []
+    extended: list[tuple] = []
     slow: list = []
     for rel in rels:
         shape = _two_slot_shape(rel)
         if shape is not None:
             fast.append((rel, shape))
+            continue
+        ext = _extended_fold_shape(rel)
+        if ext is not None:
+            extended.append((rel, ext))
         else:
             slow.append(rel)
     # broadcast the head side only while its cf stays executor-safe —
@@ -349,12 +354,17 @@ def word_sketch_patterns(
     # 1-row stats probe; the same stats table feeds scoring below)
     hcf = term_stats.filter(F.col("term") == head).select("cf").first()
     head_hot = hcf is not None and int(hcf["cf"]) > 64_000_000
+    if head_hot and extended:
+        # the extended fold's neighbor-pivot join broadcasts the head
+        # side; a corpus-hot head must keep the shuffle-join branches
+        slow = [rel for rel, _ in extended] + slow
+        extended = []
     pair_parts = []
-    if fast:
+    if fast or extended:
         pair_parts.append(_fast_window_pairs(
             tokens, fast, head, subst_attr, colloc_attr, cols,
             within_sentence=within_sentence,
-            broadcast_head=not head_hot))
+            broadcast_head=not head_hot, extended=extended))
     def _build_branch(rel: RelationConfig) -> DataFrame:
         core, cons = strip_constraints(rel.pattern)
         items = parse_cql(core)
@@ -448,6 +458,182 @@ def _two_slot_shape(rel: RelationConfig):
             steps[1].lo, steps[1].hi, head_first, False)
 
 
+@dataclass
+class _ExtShape:
+    """A relation foldable into the shared window join as enumerated
+    CASE arms: two labeled end slots (1:/2: in either order) with
+    bounded unlabeled fillers / fixed tokens / a 3: slot between them,
+    plus optional inter-slot constraints between 1 and 2.
+
+    ``arms``: ``[(g, variants)]`` where ``g`` is the signed collocate
+    offset from the head position and each variant is
+    ``(mid_tests, third_delta)`` — ``mid_tests`` the intermediate
+    ``(delta_from_head, TokenItem)`` checks for that filler
+    assignment, ``third_delta`` the 3: slot's offset (trinary
+    relation-id parameterization) or ``None``.
+    """
+
+    head_item: "object"
+    colloc_item: "object"
+    cons: tuple
+    arms: list
+
+
+def _extended_fold_shape(rel: RelationConfig, max_arms: int = 24,
+                         max_span: int = 6) -> _ExtShape | None:
+    """Enumerate the window-join CASE arms of a quantified/constrained
+    2-slot relation (``2:"JJ" [tag="DT"]{0,1} 1:"NN.*"``, a fixed mid
+    token, a trinary 3: slot, ``& 1.tag = 2.tag``) — the shapes the
+    slow ``compile_cql`` branch (interval-DP / chained joins) otherwise
+    serves one Catalyst tree each. ``None`` when the pattern doesn't
+    fit (labels not on the end slots, labeled quantifiers, span or arm
+    count over the cap, constraints referencing 3:): the caller falls
+    back to the per-relation compile."""
+    from itertools import product
+
+    from .cql import GapItem, TokenItem, parse_cql, strip_constraints
+
+    core, cons = strip_constraints(rel.pattern)
+    try:
+        items = parse_cql(core)
+    except ValueError:
+        return None
+    if (len(items) < 2 or not isinstance(items[0], TokenItem)
+            or not isinstance(items[-1], TokenItem)):
+        return None
+    first, last = items[0], items[-1]
+    if {first.label, last.label} != {"1", "2"}:
+        return None
+    if (first.rep_min, first.rep_max) != (1, 1) \
+            or (last.rep_min, last.rep_max) != (1, 1):
+        return None
+    mids = items[1:-1]
+    for it in mids:
+        if isinstance(it, TokenItem) and it.label not in (None, "3"):
+            return None
+        if isinstance(it, TokenItem) and it.label == "3" \
+                and (it.rep_min, it.rep_max) != (1, 1):
+            return None
+    if any(c.label_a not in ("1", "2") or c.label_b not in ("1", "2")
+           for c in cons):
+        return None
+    # enumerate filler assignments: each mid takes k repetitions
+    spans = []
+    for it in mids:
+        if isinstance(it, GapItem):
+            spans.append((it.min, it.max, None))
+        else:
+            spans.append((it.rep_min, it.rep_max, it))
+    n_arms = 1
+    for lo, hi, _ in spans:
+        n_arms *= hi - lo + 1
+    if n_arms > max_arms:
+        return None
+    head_first = first.label == "1"
+    head_item = first if head_first else last
+    colloc_item = last if head_first else first
+    by_g: dict[int, list] = {}
+    for ks in product(*[range(lo, hi + 1) for lo, hi, _ in spans]):
+        width = sum(ks)
+        g0 = width + 1  # colloc offset from the FIRST end slot
+        if g0 > max_span:
+            return None
+        mid_tests: list[tuple[int, object]] = []
+        third = None
+        off = 1  # next free position after the first end slot
+        for k, (_lo, _hi, it) in zip(ks, spans):
+            if it is not None:
+                for r in range(k):
+                    delta = (off + r) if head_first else (off + r - g0)
+                    mid_tests.append((delta, it))
+                if isinstance(it, TokenItem) and it.label == "3":
+                    third = off if head_first else off - g0
+            off += k
+        g = g0 if head_first else -g0
+        by_g.setdefault(g, []).append((tuple(mid_tests), third))
+    return _ExtShape(head_item, colloc_item, tuple(cons),
+                     sorted(by_g.items()))
+
+
+def _nb_name(delta: int, col: str) -> str:
+    """Stable column name for the head-side neighbor pivot."""
+    sign = "m" if delta < 0 else "p"
+    return f"_nb_{sign}{abs(delta)}_{col}"
+
+
+def _nb_test_col(attr: str, delta: int, cols: list[str]) -> Column:
+    """Resolve one test attribute against the Δ-offset neighbor
+    column (the ``_resolve_col`` twin for pivoted neighbors)."""
+    from .cql import DEFAULT_LAYERS
+
+    if attr == "class":
+        return word_class_expr(_nb_name(delta, "term"))
+    name = DEFAULT_LAYERS.get(attr, attr)
+    if name not in cols:
+        raise ValueError(
+            f"pattern attribute {attr!r} → column {name!r} not in "
+            f"token table (available: {sorted(cols)})")
+    return F.col(_nb_name(delta, name))
+
+
+def _nb_pred(item, delta: int, cols: list[str]) -> Column:
+    """One mid item's tests over the Δ-offset neighbor columns — the
+    :func:`_side_pred` twin for intermediate positions. A missing
+    neighbor (doc edge) is NULL, so every arm referencing it
+    evaluates NULL and the CASE never fires — matching the join
+    chain, where a non-existent position can't match."""
+    from .cql import _test_col, effective_test
+
+    pred = F.lit(True)
+    for t in item.tests:
+        t = effective_test(t)
+        pred = pred & _test_col(t, _nb_test_col(t.attr, delta, cols))
+    if item.alts:
+        alt = F.lit(False)
+        for group in item.alts:
+            g = F.lit(True)
+            for t in group:
+                t = effective_test(t)
+                g = g & _test_col(t, _nb_test_col(t.attr, delta, cols))
+            alt = alt | g
+        pred = pred & alt
+    # a negated-only test must still require the position to EXIST
+    # (the chain joins the mid token; no token → no match): anchor on
+    # the neighbor's surface term being present
+    pred = pred & F.col(_nb_name(delta, "term")).isNotNull()
+    return pred
+
+
+def _ext_need_neighbors(extended, colloc_attr: str,
+                        cols: list[str]) -> dict[int, set[str]]:
+    """delta → token-table columns the extended arms read at that
+    offset (mid tests + trinary capture layer)."""
+    from .cql import DEFAULT_LAYERS, effective_test
+
+    need: dict[int, set[str]] = {}
+
+    def _add(delta: int, attr: str) -> None:
+        name = "term" if attr == "class" else DEFAULT_LAYERS.get(attr, attr)
+        need.setdefault(delta, set()).add(name)
+        # existence anchor (see _nb_pred)
+        need.setdefault(delta, set()).add("term")
+
+    for _rel, ext in extended:
+        for _g, variants in ext.arms:
+            for mid_tests, third in variants:
+                for delta, item in mid_tests:
+                    for t in item.tests:
+                        _add(delta, effective_test(t).attr)
+                    for group in item.alts or ():
+                        for t in group:
+                            _add(delta, effective_test(t).attr)
+                    if not item.tests and not item.alts:
+                        _add(delta, "word")  # existence anchor only
+                if third is not None:
+                    _add(third, colloc_attr or "word")
+    return need
+
+
 def _side_pred(item, pref: str, cols: list[str]):
     """Conjunction of one item's tests over ``{pref}``-aliased columns
     (the CASE-arm twin of ``plans.cql._item_predicate``)."""
@@ -471,15 +657,48 @@ def _side_pred(item, pref: str, cols: list[str]):
 
 def _fast_window_pairs(tokens, fast, head, subst_attr, colloc_attr,
                        cols, within_sentence=False,
-                       broadcast_head=True):
+                       broadcast_head=True, extended=()):
     """ONE broadcast window join serving every foldable relation:
     head side = the substituted lemma's rows, probe = one token-table
     pass at the max window; per-relation gap/direction/tests are CASE
-    arms exploded into ``(relation, doc_id, hp, cp, colloc_term)``."""
+    arms exploded into ``(relation, doc_id, hp, cp, colloc_term)``.
+
+    ``extended`` relations (:func:`_extended_fold_shape`) additionally
+    test INTERMEDIATE tokens / capture a trinary 3: slot: the head
+    side is enriched with its ±Δ neighbors' layer values by one pivot
+    join (probe pass over the token table, aggregate bounded by the
+    head's cf), so each arm is still a pure predicate — no extra join
+    branches, no per-relation Catalyst trees."""
     from .cql import DEFAULT_LAYERS, _resolve_col
 
-    maxw = max(hi for _r, (_h, _c, _lo, hi, _hf, _d) in fast)
-    h = tokens.filter(_resolve_col(subst_attr, cols) == head).alias("h")
+    his = [hi for _r, (_h, _c, _lo, hi, _hf, _d) in fast]
+    his += [abs(g) for _r, ext in extended for g, _v in ext.arms]
+    maxw = max(his)
+    h = tokens.filter(_resolve_col(subst_attr, cols) == head)
+    need_nb = _ext_need_neighbors(extended, colloc_attr, cols) \
+        if extended else {}
+    if need_nb:
+        # one broadcast probe + a head-cf-bounded pivot: every (Δ,
+        # layer) the arms read becomes a column of the head side.
+        # Inner join is safe: positions are dense per doc, so any head
+        # that can pair at all (doc length ≥ 2) has a ±1 neighbor.
+        deltas = sorted(need_nb)
+        lo_d = min(deltas + [-1])
+        hi_d = max(deltas + [1])
+        nb_cols = sorted({c_ for s in need_nb.values() for c_ in s})
+        n = tokens.select(F.col("doc_id").alias("_n_doc"),
+                          F.col("pos").alias("_n_pos"),
+                          *[F.col(c_).alias(f"_n_{c_}")
+                            for c_ in nb_cols])
+        delta = F.col("_n_pos") - F.col("pos")
+        joined = F.broadcast(h).join(
+            n, (F.col("doc_id") == F.col("_n_doc"))
+            & (delta >= lo_d) & (delta <= hi_d) & (delta != 0))
+        aggs = [F.max(F.when(delta == d, F.col(f"_n_{c_}")))
+                .alias(_nb_name(d, c_))
+                for d in deltas for c_ in sorted(need_nb[d])]
+        h = joined.groupBy(*[F.col(c_) for c_ in cols]).agg(*aggs)
+    h = h.alias("h")
     c = tokens.alias("c")
     g = F.col("c.pos") - F.col("h.pos")
     cond = ((F.col("h.doc_id") == F.col("c.doc_id"))
@@ -497,6 +716,36 @@ def _fast_window_pairs(tokens, fast, head, subst_attr, colloc_attr,
         arm = arm & _side_pred(hitem, "h", cols) \
             & _side_pred(citem, "c", cols)
         whens.append(F.when(arm, F.lit(rel.id)))
+    for rel, ext in extended:
+        base = _side_pred(ext.head_item, "h", cols) \
+            & _side_pred(ext.colloc_item, "c", cols)
+        for con in ext.cons:
+            ca = _ext_con_col(con.attr_a, con.label_a, cols)
+            cb = _ext_con_col(con.attr_b, con.label_b, cols)
+            base = base & (ca != cb if con.negated else ca == cb)
+        for g0, variants in ext.arms:
+            plain = [v for v in variants if v[1] is None]
+            if plain:
+                mid_or = F.lit(False)
+                for mid_tests, _third in plain:
+                    v_pred = F.lit(True)
+                    for d, item in mid_tests:
+                        v_pred = v_pred & _nb_pred(item, d, cols)
+                    mid_or = mid_or | v_pred
+                whens.append(F.when((g == g0) & base & mid_or,
+                                    F.lit(rel.id)))
+            for mid_tests, third in variants:
+                if third is None:
+                    continue
+                v_pred = (g == g0) & base
+                for d, item in mid_tests:
+                    v_pred = v_pred & _nb_pred(item, d, cols)
+                # trinary: the 3: slot's captured layer parameterizes
+                # the relation id (Sketch-Engine `%(3.lemma)`)
+                tl = DEFAULT_LAYERS.get(colloc_attr or "word",
+                                        colloc_attr or "word")
+                whens.append(F.when(v_pred, F.concat_ws(
+                    "/", F.lit(rel.id), F.col(_nb_name(third, tl)))))
     cterm = DEFAULT_LAYERS.get(colloc_attr or "word",
                                colloc_attr or "word")
     return (
@@ -508,6 +757,24 @@ def _fast_window_pairs(tokens, fast, head, subst_attr, colloc_attr,
                 .alias("relation"))
         .select("relation", "doc_id", "hp", "cp", "colloc_term")
     )
+
+
+def _ext_con_col(attr: str, label: str, cols: list[str]) -> Column:
+    """Resolve one inter-slot constraint operand (label 1 = the head
+    side ``h``, label 2 = the probe side ``c``) to its layer column —
+    the window-join twin of ``_compile_with_constraints``' capture
+    columns."""
+    from .cql import DEFAULT_LAYERS
+
+    pref = "h" if label == "1" else "c"
+    if attr == "class":
+        return word_class_expr(f"{pref}.term")
+    name = DEFAULT_LAYERS.get(attr, attr)
+    if name not in cols:
+        raise ValueError(
+            f"constraint attribute {attr!r} → column {name!r} not in "
+            f"token table (available: {sorted(cols)})")
+    return F.col(f"{pref}.{name}")
 
 
 def unary_counts(
