@@ -80,8 +80,11 @@ def q_bm25_index_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                               doc_filter=BM25_DOC_FILTER)
     rows = sorted(((d, round(s, 4)) for d, s in hits),
                   key=lambda x: (-x[1], x[0]))[:10]
-    return spark.createDataFrame(
-        [(int(d), float(s)) for d, s in rows], "doc_id long, score double")
+    from word_sketch_lucene_spark.query.engine import bounded_rows_df
+
+    return bounded_rows_df(
+        spark, [(int(d), float(s)) for d, s in rows],
+        "doc_id long, score double", ["doc_id", "score"])
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -627,8 +630,11 @@ def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # adopt the oracle's rounded ordering contract before the cutoff
     rows = sorted(((d, round(s, 4)) for d, s in hits),
                   key=lambda x: (-x[1], x[0]))[:10]
-    return spark.createDataFrame(
-        [(int(d), float(s)) for d, s in rows], "doc_id long, score double")
+    from word_sketch_lucene_spark.query.engine import bounded_rows_df
+
+    return bounded_rows_df(
+        spark, [(int(d), float(s)) for d, s in rows],
+        "doc_id long, score double", ["doc_id", "score"])
 
 
 # annotator revision — part of the cached contract-index identity: the
@@ -682,11 +688,13 @@ def q_cql_hits_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     index reproduces the DataFrame compiler span for span."""
     from word_sketch_lucene_spark.query.engine import IndexSearcher
 
+    from word_sketch_lucene_spark.query.engine import bounded_rows_df
+
     s = IndexSearcher(spark, _contract_index_root(spark, sf_dir))
     spans = s.pattern_hits(CQL_HITS_PATTERN)
-    return spark.createDataFrame(
-        [(int(d), int(a), int(b)) for d, a, b in spans],
-        "doc_id long, start long, end long")
+    return bounded_rows_df(
+        spark, [(int(d), int(a), int(b)) for d, a, b in spans],
+        "doc_id long, start long, end long", ["doc_id", "start", "end"])
 
 
 def q_cql_layers_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -704,11 +712,13 @@ def q_cql_layers_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("doc_id", F.col("doc_id").cast("long"))
     build_layer_postings(spark, lt, root,
                          input_paths=[f"{sf_dir}/documents.parquet"])
+    from word_sketch_lucene_spark.query.engine import bounded_rows_df
+
     s = IndexSearcher(spark, root)
     spans = s.pattern_hits(CQL_LAYERS_PATTERN)
-    return spark.createDataFrame(
-        [(int(d), int(a), int(b)) for d, a, b in spans],
-        "doc_id long, start long, end long")
+    return bounded_rows_df(
+        spark, [(int(d), int(a), int(b)) for d, a, b in spans],
+        "doc_id long, start long, end long", ["doc_id", "start", "end"])
 
 
 def q_cql_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -725,11 +735,13 @@ def q_cql_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = s.pattern_hits(CQL_FEATS_PATTERN)
     # the conllu index assigns DENSE ids (sorted doc_name); map back to
     # the corpus ids the oracle sees via the index's own doc_names table
+    from word_sketch_lucene_spark.query.engine import bounded_rows_df
+
     id2name = {int(r["doc_id"]): int(r["doc_name"]) for r in
                spark.read.parquet(str(root / "doc_names")).collect()}
-    return spark.createDataFrame(
-        [(id2name[int(d)], int(a), int(b)) for d, a, b in spans],
-        "doc_id long, start long, end long")
+    return bounded_rows_df(
+        spark, [(id2name[int(d)], int(a), int(b)) for d, a, b in spans],
+        "doc_id long, start long, end long", ["doc_id", "start", "end"])
 
 
 def q_cql_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,11 +951,15 @@ def q_multiseed_common_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      min_gap=1, max_gap=2, ordered=False,
                                      round_dp=4)
     rows = index_common_collocates(per_seed, min_shared=2, round_dp=4)
-    return spark.createDataFrame(
-        [(t, int(sb), int(tf), float(mx), float(av), float(sm))
-         for t, sb, tf, mx, av, sm in rows],
+    from word_sketch_lucene_spark.query.engine import bounded_rows_df
+
+    return bounded_rows_df(
+        spark, [(t, int(sb), int(tf), float(mx), float(av), float(sm))
+                for t, sb, tf, mx, av, sm in rows],
         "colloc_term string, shared_by long, total_freq long, "
-        "max_logdice double, avg_logdice double, sum_logdice double")
+        "max_logdice double, avg_logdice double, sum_logdice double",
+        ["colloc_term", "shared_by", "total_freq", "max_logdice",
+         "avg_logdice", "sum_logdice"])
 
 
 def q_cql_deprel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1090,9 +1106,12 @@ def q_cql_deprel_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = IndexSearcher(spark, _contract_conllu_index_root(spark, sf_dir))
     rows = index_relation_collocates(s, '[lemma="scan"] -nsubj-> _',
                                      limit=20, round_dp=4)
-    return spark.createDataFrame(
-        [(t, int(f), float(ld)) for t, f, ld in rows],
-        "dep_term string, pair_freq long, logdice double")
+    from word_sketch_lucene_spark.query.engine import bounded_rows_df
+
+    return bounded_rows_df(
+        spark, [(t, int(f), float(ld)) for t, f, ld in rows],
+        "dep_term string, pair_freq long, logdice double",
+        ["dep_term", "pair_freq", "logdice"])
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -94,10 +94,14 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     physically storable graph; non-convergence means corrupted input,
     e.g. NaN ids).
     """
-    edges = _canon_edges(pairs, a_col, b_col).localCheckpoint(eager=True)
+    # lazy checkpoints: the fingerprint aggregate is the round's ONLY
+    # action and materializes the checkpoint as it runs — eager=True
+    # cost a second job per round for the same bytes
+    edges = _canon_edges(pairs, a_col, b_col).localCheckpoint(eager=False)
     prev = _fingerprint(edges)
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = _small_star(_large_star(edges)) \
+            .localCheckpoint(eager=False)
         cur = _fingerprint(edges)
         if cur == prev:
             break

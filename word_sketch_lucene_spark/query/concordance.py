@@ -121,10 +121,13 @@ def index_relation_concordance(
     else:
         matches = None
     if matches is None:
+        from .engine import bounded_rows_df
+
         rows = searcher.relation_matches(rq)
-        matches = searcher.spark.createDataFrame(
+        matches = bounded_rows_df(
+            searcher.spark,
             [(int(d), int(g), int(p)) for d, g, p in rows],
-            "doc_id long, gp long, dp long")
+            "doc_id long, gp long, dp long", ["doc_id", "gp", "dp"])
     hits = matches.select(
         "doc_id",
         F.least("gp", "dp").alias("pos"),

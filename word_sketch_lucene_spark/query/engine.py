@@ -30,6 +30,23 @@ from ..index.build import STATS_FILE
 from .wand import BlockCursor, block_max_wand, exact_daat, idf_py, vectorized_topk
 
 
+def bounded_rows_df(spark: SparkSession, rows, schema: str,
+                    columns: list[str]) -> DataFrame:
+    """A BOUNDED driver-side row list as a DataFrame, shipped through
+    ONE Arrow batch (guide: Arrow for driver transfers) — the plain
+    ``createDataFrame(list)`` path pickles row-at-a-time and costs
+    ~3× as much wall even at a few thousand rows. Only for lists the
+    caller has already bounded (top-k results, span lists under the
+    Σcf budget); never a corpus-sized transfer."""
+    import pandas as pd
+
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=columns), schema=schema)
+
+
 def bm25_topk_df(
     pages: DataFrame,
     terms: list[str],
@@ -127,13 +144,10 @@ class IndexSearcher:
         self.stats = json.loads((self.root / STATS_FILE).read_text())
         self.k1 = self.stats.get("k1", K1)
         self.b = self.stats.get("b", B)
-        self.segments = spark.read.parquet(str(self.root / "segments"))
-        self.term_stats = spark.read.parquet(str(self.root / "term_stats"))
-        # extra annotation-layer postings (index.build.build_layer_postings)
-        lp, ls = self.root / "layers", self.root / "layer_stats"
-        self.layers = spark.read.parquet(str(lp)) if lp.exists() else None
-        self.layer_stats = (spark.read.parquet(str(ls))
-                            if ls.exists() else None)
+        # dataset handles resolve LAZILY (cached property below): each
+        # spark.read.parquet is a ~100 ms schema/footer round-trip, and
+        # most queries touch only a subset of the four datasets
+        self._datasets: dict[str, DataFrame | None] = {}
         self._df_cache: dict[str, int] = {}
         self._dl_cache: dict[int, int] = {}
         # (layer, term) → {doc: positions} decoded positional postings —
@@ -171,6 +185,31 @@ class IndexSearcher:
         # router's pricing memo — a few ints per distinct test, filled
         # by batched conditional aggregates (_price_tests)
         self._cost_cache: dict[tuple, tuple[int, int]] = {}
+
+    def _dataset(self, name: str, required: bool = True
+                 ) -> DataFrame | None:
+        if name not in self._datasets:
+            p = self.root / name
+            self._datasets[name] = (
+                self.spark.read.parquet(str(p))
+                if required or p.exists() else None)
+        return self._datasets[name]
+
+    @property
+    def segments(self) -> DataFrame:
+        return self._dataset("segments")
+
+    @property
+    def term_stats(self) -> DataFrame:
+        return self._dataset("term_stats")
+
+    @property
+    def layers(self) -> DataFrame | None:
+        return self._dataset("layers", required=False)
+
+    @property
+    def layer_stats(self) -> DataFrame | None:
+        return self._dataset("layer_stats", required=False)
 
     def _budget_insert(self, cache: dict, tag: str, key, value,
                        max_entries: int) -> None:
@@ -311,30 +350,53 @@ class IndexSearcher:
 
         from ..functions.codec import decode_positions, vbyte_decode
 
-        ck = (layer, term)
-        cached = self._positions_cache.get(ck)
-        if cached is not None:
-            return cached
-        if layer == "term":
-            src, key = self.segments, term
-        else:
-            self._require_layers()
-            src, key = self.layers, f"{layer}:{term}"
-        rows = (
-            src.filter(F.col("term") == key)
-            .select("n", "first_doc", "docs_vb", "pos_vb")
-            .collect()
-        )
-        out: dict[int, object] = {}
-        for r in rows:
-            gaps = vbyte_decode(bytes(r["docs_vb"])).astype(np.int64)
-            docs = np.cumsum(gaps) + r["first_doc"]
-            pls = decode_positions(bytes(r["pos_vb"]), int(r["n"]))
-            for d, pl in zip(docs, pls):
-                out[int(d)] = pl
-        self._budget_insert(self._positions_cache, "pos", ck, out,
-                            self.positions_cache_max)
-        return out
+        return self._postings_with_positions_many([term], layer)[term]
+
+    def _postings_with_positions_many(
+            self, terms: list[str], layer: str = "term"
+    ) -> dict[str, dict]:
+        """Batched :meth:`_postings_with_positions`: ALL miss terms
+        fetch in ONE pruned scan (a regex slot expands to up to 256
+        dictionary terms — one Spark job per term was the dominant
+        cold-pattern cost; one ``term IN (…)`` scan is the same bytes
+        with one job's overhead)."""
+        import numpy as np
+
+        from ..functions.codec import decode_positions, vbyte_decode
+
+        # snapshot hits FIRST: the budget inserts below may evict any
+        # older entry, including another of this call's terms
+        result = {t: self._positions_cache[(layer, t)] for t in terms
+                  if (layer, t) in self._positions_cache}
+        missing = sorted({t for t in terms if t not in result})
+        if missing:
+            if layer == "term":
+                src = self.segments
+                keys = {t: t for t in missing}
+            else:
+                self._require_layers()
+                src = self.layers
+                keys = {f"{layer}:{t}": t for t in missing}
+            rows = (
+                self._filter_in(src, "term", list(keys))
+                .select("term", "n", "first_doc", "docs_vb", "pos_vb")
+                .collect()
+            )
+            per_term: dict[str, dict[int, object]] = \
+                {t: {} for t in missing}
+            for r in rows:
+                out = per_term[keys[r["term"]]]
+                gaps = vbyte_decode(bytes(r["docs_vb"])).astype(np.int64)
+                docs = np.cumsum(gaps) + r["first_doc"]
+                pls = decode_positions(bytes(r["pos_vb"]), int(r["n"]))
+                for d, pl in zip(docs, pls):
+                    out[int(d)] = pl
+            for t in missing:
+                self._budget_insert(self._positions_cache, "pos",
+                                    (layer, t), per_term[t],
+                                    self.positions_cache_max)
+            result.update(per_term)
+        return {t: result[t] for t in terms}
 
     def _require_layers(self) -> None:
         if self.layers is None or self.layer_stats is None:
@@ -487,7 +549,8 @@ class IndexSearcher:
         terms = tokenize_py(phrase) if isinstance(phrase, str) else list(phrase)
         if not terms:
             return []
-        per_term = [self._postings_with_positions(t) for t in terms]
+        by_term = self._postings_with_positions_many(terms)
+        per_term = [by_term[t] for t in terms]
         if any(not p for p in per_term):
             return []
         # docs containing every term, rarest-first intersection
@@ -566,9 +629,10 @@ class IndexSearcher:
                 merged = self._test_map_cache.get(ck)
                 if merged is None:
                     merged = {}
+                    by_term = self._postings_with_positions_many(
+                        values, layer)
                     for v in values:
-                        for d, pl in self._postings_with_positions(
-                                v, layer).items():
+                        for d, pl in by_term[v].items():
                             if d in merged:
                                 merged[d] = np.union1d(merged[d], pl)
                             else:
@@ -1275,9 +1339,10 @@ class IndexSearcher:
         if doc_filter is not None:
             allowed = set(self.filtered_doc_ids(doc_filter).tolist())
             spans = [s for s in spans if s[0] in allowed]
-        return self.spark.createDataFrame(
-            [(int(d), int(s), int(e)) for d, s, e in spans],
-            "doc_id long, start long, end long")
+        return bounded_rows_df(
+            self.spark, [(int(d), int(s), int(e)) for d, s, e in spans],
+            "doc_id long, start long, end long",
+            ["doc_id", "start", "end"])
 
     def group_pattern_hits(self, pattern: str, layer_col: str = "term",
                            k: int = 20,
