@@ -151,3 +151,64 @@ def test_store_detects_index_content_change(spark, store_index):
         os.utime(part, ns=(st.st_atime_ns, st.st_mtime_ns))
     s._fw_fp_cache = None
     assert store_can_serve(s, cat)  # restored contents serve again
+
+
+def test_store_serves_wsdef_catalog_constraints_and_trinary(
+        spark, docs_small, tmp_path_factory):
+    """r6 fixes: the store build must accept wsdef-shaped relations —
+    trailing inter-slot constraints (stripped + applied), quantified
+    fillers, and TRINARY 3: slots (stored as `<id>/<value>` exactly as
+    the live fan-out parameterizes them) — and the store serve must be
+    row-identical to the distributed fan-out for such a catalog."""
+    from word_sketch_lucene_spark.functions.tokenize import explode_tokens
+    from word_sketch_lucene_spark.index.build import build_conllu_index
+    from word_sketch_lucene_spark.index.colloc_store import (
+        build_collocation_store,
+        sketch_from_store,
+        store_can_serve,
+    )
+    from word_sketch_lucene_spark.operators.dependency import rule_annotate
+    from word_sketch_lucene_spark.plans.wsdef import parse_wsdef
+    from word_sketch_lucene_spark.query.engine import IndexSearcher
+    from word_sketch_lucene_spark.query.sketch import (
+        index_word_sketch_distributed,
+    )
+    from word_sketch_lucene_spark.sources.conllu import (
+        parse_conllu_docs,
+        to_conllu_text,
+    )
+
+    grammar = """\
+*DEFAULTATTR xpos
+
+=modifiers of "%w"
+*UNIMAP smod
+\t2:"JJ" [xpos="DT"]{0,1} 1:"NN.*"
+
+=coordination of "%w"
+*UNIMAP scoord
+\t1:"(NN|VB).*" []{0,1} 2:"(NN|VB).*" & 1.xpos = 2.xpos
+
+*TRINARY
+="%w" %(3.lemma) ...
+*UNIMAP svia
+\t1:"NN.*" 3:"VB.*" [xpos="DT"]{0,1} 2:"NN.*"
+"""
+    cat = parse_wsdef(grammar)
+    parsed = parse_conllu_docs(to_conllu_text(
+        rule_annotate(explode_tokens(docs_small), sent_len=10))) \
+        .localCheckpoint()
+    root = tmp_path_factory.mktemp("cstore_wsdef_idx")
+    build_conllu_index(spark, parsed, root, doc_salt=2, n_partitions=4)
+    s = IndexSearcher(spark, root)
+    build_collocation_store(s, cat)  # r6: raised ValueError before
+    assert store_can_serve(s, cat)
+    live = index_word_sketch_distributed(
+        s, "table", cat, limit_per_relation=10, round_dp=4)
+    got = sketch_from_store(s, "table", cat, limit_per_relation=10,
+                            round_dp=4)
+    want_rows = sorted(tuple(r) for r in live.collect())
+    got_rows = sorted(tuple(r) for r in got.collect())
+    assert want_rows == got_rows and len(got_rows) > 0
+    # trinary sub-relations materialized per 3:-slot value
+    assert any(r[0].startswith("svia/") for r in got_rows)

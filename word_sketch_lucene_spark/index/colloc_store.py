@@ -117,12 +117,22 @@ def build_collocation_store(
     need = {"term", DEFAULT_LAYERS[subst_attr], DEFAULT_LAYERS[colloc_attr]}
     if within_sentence:
         need.add("sent_no")
+    from ..plans.cql import strip_constraints
+
+    def _need_attr(a: str) -> None:
+        need.add("term" if a == "class" else DEFAULT_LAYERS.get(a, a))
+
     for rel in rels:
-        for it in parse_cql(rel.pattern):
+        core, cons = strip_constraints(rel.pattern)
+        for c in cons:
+            _need_attr(c.attr_a)
+            _need_attr(c.attr_b)
+        for it in parse_cql(core):
             for t in getattr(it, "tests", ()):
-                a = effective_test(t).attr
-                need.add("term" if a == "class"
-                         else DEFAULT_LAYERS.get(a, a))
+                _need_attr(effective_test(t).attr)
+            for group in getattr(it, "alts", None) or ():
+                for t in group:
+                    _need_attr(effective_test(t).attr)
     tokens = searcher.forward_token_table(columns=need)
     if tokens is None or DEFAULT_LAYERS[subst_attr] not in tokens.columns:
         raise NotImplementedError(
@@ -182,19 +192,28 @@ def build_collocation_store(
                     .alias("relation"))
             .select("relation", "doc_id", "hp", "cp", "head", "colloc"))
     for rel in slow:
-        items = parse_cql(rel.pattern)
+        core, cons = strip_constraints(rel.pattern)
+        items = parse_cql(core)
         matches = compile_cql(tokens, items, keep_terms=False,
                               capture_attrs=capture,
                               within_sentence=within_sentence,
-                              distinct=False)
+                              distinct=False, constraints=cons)
+        # Sketch-Engine TRINARY gramrels: the 3: slot's captured layer
+        # parameterizes the relation id (`%(3.lemma)`) — exactly as
+        # word_sketch_patterns._build_branch does, so store counts are
+        # per sub-relation, never silently merged across prepositions
+        third_col = f"{colloc_attr}_3"
+        rel_col = (F.concat_ws("/", F.lit(rel.id), F.col(third_col))
+                   if third_col in matches.columns
+                   else F.lit(rel.id))
         pairs = matches.select(
+            rel_col.alias("relation"),
             "doc_id", F.col("pos_1").alias("hp"),
             F.col("pos_2").alias("cp"),
             F.col(f"{subst_attr}_1").alias("head"),
             F.col(f"{colloc_attr}_2").alias("colloc"))
-        parts.append(pairs.select(F.lit(rel.id).alias("relation"),
-                                  "doc_id", "hp", "cp", "head",
-                                  "colloc"))
+        parts.append(pairs.select("relation", "doc_id", "hp", "cp",
+                                  "head", "colloc"))
     all_pairs = parts[0]
     for p in parts[1:]:
         all_pairs = all_pairs.unionByName(p)
@@ -233,12 +252,29 @@ def store_meta(searcher) -> dict | None:
     return json.loads(p.read_text())
 
 
+def _rel_has_third(rel) -> bool:
+    """True when the pattern labels a 3: slot — its captured value
+    parameterizes the stored relation id (``<id>/<value>``)."""
+    from ..plans.cql import TokenItem, strip_constraints
+
+    core, _ = strip_constraints(rel.pattern)
+    try:
+        return any(isinstance(it, TokenItem) and it.label == "3"
+                   for it in parse_cql(core))
+    except ValueError:
+        return False
+
+
 def _applicable_rel_ids(catalog: GrammarCatalog, head_pos: str | None,
-                        relation_types: tuple[str, ...]) -> list[str]:
+                        relation_types: tuple[str, ...],
+                        with_third: bool = False):
     rels = _store_rels(catalog, relation_types)
     if head_pos is not None:
         rels = [r for r in rels if pattern_pos_group(r) == head_pos]
-    return [r.id for r in rels]
+    if not with_third:
+        return [r.id for r in rels]
+    return [r.id for r in rels], [r.id for r in rels
+                                  if _rel_has_third(r)]
 
 
 def store_can_serve(searcher, catalog: GrammarCatalog,
@@ -293,9 +329,15 @@ def sketch_from_store(
         raise ValueError(
             f"store materialized colloc_attr={meta['colloc_attr']!r}, "
             f"requested {colloc_attr!r}")
-    rel_ids = _applicable_rel_ids(catalog, head_pos, relation_types)
+    rel_ids, third_ids = _applicable_rel_ids(catalog, head_pos,
+                                             relation_types,
+                                             with_third=True)
+    rel_match = F.col("relation").isin(rel_ids)
+    for tid in third_ids:
+        # trinary rows are stored as `<id>/<third-slot value>`
+        rel_match = rel_match | F.col("relation").startswith(f"{tid}/")
     grouped = store.filter(
-        (F.col("head") == head) & F.col("relation").isin(rel_ids)
+        (F.col("head") == head) & rel_match
     ).select("relation", F.col("colloc").alias("colloc_term"),
              "pair_freq")
     stats = layer_stats_df(searcher, DEFAULT_LAYERS[colloc_attr])
@@ -350,8 +392,11 @@ def serve_sketch_cached(
         raise ValueError(
             f"store materialized colloc_attr={meta['colloc_attr']!r}, "
             f"requested {colloc_attr!r}")
-    rel_order = _applicable_rel_ids(catalog, head_pos, relation_types)
+    rel_order, third_ids = _applicable_rel_ids(catalog, head_pos,
+                                               relation_types,
+                                               with_third=True)
     rel_ids = set(rel_order)
+    third_pref = tuple(f"{t}/" for t in third_ids)
     layer = DEFAULT_LAYERS[colloc_attr]
     cf = searcher.layer_cf(layer,
                            sorted({c for _, c, _ in rows}) + [head])
@@ -360,21 +405,32 @@ def serve_sketch_cached(
         return []
     by_rel: dict[str, list] = {}
     for rel_id, colloc, fab in rows:
-        if rel_id not in rel_ids:
+        if rel_id not in rel_ids and not (
+                third_pref and rel_id.startswith(third_pref)):
             continue
         fb = cf.get(colloc)
         if fb is None:
             continue
-        ld = _round(_logdice(fab, head_cf, fb), round_dp)
+        # min-score filter on the UNROUNDED value, round for output —
+        # score_ranked_collocates' order of operations, so boundary
+        # collocates agree between the cached and plan tiers
+        ld = _logdice(fab, head_cf, fb)
         if ld < min_logdice:
             continue
         rf = _round(fab / head_cf, round_dp)
-        by_rel.setdefault(rel_id, []).append((colloc, fab, ld, rf))
+        by_rel.setdefault(rel_id, []).append(
+            (colloc, fab, _round(ld, round_dp), rf))
     out = []
     # CATALOG order (not alphabetical) — the same enumeration
-    # index_word_sketch emits, so the store serve is a drop-in
-    for rel_id in rel_order:
-        scored = sorted(by_rel.get(rel_id, ()), key=lambda r: (-r[2], r[0]))
-        out.extend((rel_id, *row)
-                   for row in scored[:limit_per_relation])
+    # index_word_sketch emits, so the store serve is a drop-in;
+    # trinary sub-relations (`<id>/<value>`) follow their base id
+    for base in rel_order:
+        ids = [base] if base in by_rel else []
+        ids += sorted(k for k in by_rel
+                      if k.startswith(f"{base}/"))
+        for rel_id in ids:
+            scored = sorted(by_rel.get(rel_id, ()),
+                            key=lambda r: (-r[2], r[0]))
+            out.extend((rel_id, *row)
+                       for row in scored[:limit_per_relation])
     return out

@@ -384,6 +384,14 @@ def expand_repetitions(items: list[TokenItem | GapItem],
     n = 1
     for it in items:
         if isinstance(it, TokenItem):
+            if it.label is not None and (it.rep_min, it.rep_max) != (1, 1):
+                # a quantified LABELED slot has no single capture
+                # position; expansion would emit variants with
+                # missing/duplicate pos_<label> columns and fail
+                # downstream with an opaque AnalysisException
+                raise ValueError(
+                    f"quantifier on the labeled slot {it.label}: — "
+                    "head/collocate positions must be single tokens")
             n *= it.rep_max - it.rep_min + 1
     if n > max_variants:
         raise ValueError(
@@ -633,16 +641,21 @@ def compile_cql(
                                capture_sent=capture_sent)
         except _DPUnsupported:
             pass
-        # leading-optional / labeled-quantifier shapes: bounded
-        # union of the concrete-length variants
+        # leading-optional shapes: bounded union of the concrete-length
+        # variants. distinct/selective_broadcast forward to every
+        # variant (a router that suppressed the broadcast hint must
+        # stay suppressed); the cross-variant dedup runs once, only
+        # when the caller asked for it.
         out = None
         for v in expand_repetitions(items):
             b = compile_cql(tokens, v, keep_terms=keep_terms,
                             capture_attrs=capture_attrs,
                             within_sentence=within_sentence,
+                            distinct=False,
+                            selective_broadcast=selective_broadcast,
                             capture_sent=capture_sent)
             out = b if out is None else out.unionByName(b)
-        return out.distinct()
+        return out.distinct() if distinct else out
     steps = _steps(items)
     cols = tokens.columns
     if within_sentence and "sent_no" not in cols:

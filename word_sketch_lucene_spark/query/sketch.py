@@ -96,11 +96,13 @@ def relation_collocates(
         fb = cf.get(value)
         if fb is None:
             continue
-        ld = _round(_logdice(fab, head_cf, fb), round_dp)
+        # filter on the UNROUNDED score, round for output — the plan
+        # tier's (score_collocate_pairs) order of operations
+        ld = _logdice(fab, head_cf, fb)
         if ld < min_logdice:
             continue
         rf = _round(fab / head_cf, round_dp)
-        scored.append((value, fab, ld, rf))
+        scored.append((value, fab, _round(ld, round_dp), rf))
     scored.sort(key=lambda r: (-r[2], r[0]))
     return scored[:limit]
 
@@ -286,10 +288,10 @@ def index_relation_collocates(
         fb = cf.get(value)
         if fb is None:
             continue
-        ld = _round(_logdice(fab, head_cf, fb), round_dp)
+        ld = _logdice(fab, head_cf, fb)
         if ld < min_logdice:
             continue
-        scored.append((value, fab, ld))
+        scored.append((value, fab, _round(ld, round_dp)))
     scored.sort(key=lambda r: (-r[2], r[0]))
     return scored[:limit]
 
