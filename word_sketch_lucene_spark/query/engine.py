@@ -168,6 +168,13 @@ class IndexSearcher:
         # the dominant warm-serving cost
         self._test_map_cache: dict[tuple, dict] = {}
         self.test_map_cache_max = 64
+        # fully-resolved SLOT maps (all tests intersected/subtracted):
+        # multi-test slots repeat across a fan-out too, and the per-doc
+        # intersection pass was the dominant WARM-serve cost (FIFO,
+        # entry-capped; entries are derived from — and smaller than —
+        # the byte-budgeted test maps above)
+        self._slot_map_cache: dict[tuple, tuple] = {}
+        self.slot_map_cache_max = 256
         # shared byte budget for the two position-map caches (the only
         # corpus-proportional driver state); exceeding it evicts FIFO —
         # a serving node's pinned-hot-set contract, not an OOM vector
@@ -612,6 +619,18 @@ class IndexSearcher:
 
         out = []
         for st in steps:
+            if st.item.alts:
+                raise NotImplementedError(
+                    "cross-attr `|` disjunctions union positions ACROSS "
+                    "layers — not expressible over per-layer postings; "
+                    "route to the distributed compile (pattern_spans_df)")
+            sig = tuple(
+                ((e := effective_test(t)).attr, e.value, e.negated)
+                for t in st.item.tests) + (max_terms_per_slot,)
+            hit = self._slot_map_cache.get(sig)
+            if hit is not None:
+                out.append(hit)
+                continue
             pos_maps, ban_maps = [], []
             for t in st.item.tests:
                 t = effective_test(t)
@@ -642,32 +661,44 @@ class IndexSearcher:
                                         self.test_map_cache_max)
                 (ban_maps if t.negated else pos_maps).append(merged)
             if pos_maps:
-                docs = set(pos_maps[0])
-                for m in pos_maps[1:]:
-                    docs &= set(m)
-                allowed: dict[int, object] = {}
-                for d in docs:
-                    a = pos_maps[0][d]
+                if len(pos_maps) == 1 and not ban_maps:
+                    # single positive test: the merged test map IS the
+                    # slot map — no per-doc copy loop
+                    allowed = pos_maps[0]
+                else:
+                    docs = set(pos_maps[0])
                     for m in pos_maps[1:]:
-                        a = self._isect_sorted(a, m[d])
-                        if a.size == 0:
-                            break
-                    for bm in ban_maps:
-                        if a.size and d in bm:
-                            a = self._diff_sorted(a, bm[d])
-                    if a.size:
-                        allowed[d] = a
-                out.append((allowed, None))
+                        docs &= set(m)
+                    allowed = {}
+                    for d in docs:
+                        a = pos_maps[0][d]
+                        for m in pos_maps[1:]:
+                            a = self._isect_sorted(a, m[d])
+                            if a.size == 0:
+                                break
+                        for bm in ban_maps:
+                            if a.size and d in bm:
+                                a = self._diff_sorted(a, bm[d])
+                        if a.size:
+                            allowed[d] = a
+                res = (allowed, None)
             else:
                 if not ban_maps:
                     raise NotImplementedError(
                         "constraint slot with no tests — use [] gaps")
-                ban: dict[int, object] = {}
-                for bm in ban_maps:
-                    for d, pl in bm.items():
-                        ban[d] = (np.union1d(ban[d], pl) if d in ban
-                                  else np.asarray(pl, dtype=np.int64))
-                out.append((None, ban))
+                if len(ban_maps) == 1:
+                    ban = ban_maps[0]
+                else:
+                    ban = {}
+                    for bm in ban_maps:
+                        for d, pl in bm.items():
+                            ban[d] = (np.union1d(ban[d], pl) if d in ban
+                                      else np.asarray(pl, dtype=np.int64))
+                res = (None, ban)
+            if len(self._slot_map_cache) >= self.slot_map_cache_max:
+                self._slot_map_cache.pop(next(iter(self._slot_map_cache)))
+            self._slot_map_cache[sig] = res
+            out.append(res)
         return out
 
     def _sent_filter(self, mat, sents):
@@ -780,8 +811,17 @@ class IndexSearcher:
                 if not mat.shape[0]:
                     mat = None
             if mat is not None:
-                spans = {(int(r[0]), int(r[-1])) for r in mat}
-                out.extend((d, s, e) for s, e in sorted(spans))
+                if mat.shape[0] > 64:
+                    # vectorized span dedup (lexicographic np.unique):
+                    # at 10⁵⁺ matches per hot pattern the python
+                    # set-of-tuples pass dominated the wall. Small mats
+                    # keep the set — np.unique's setup constant loses
+                    # below ~64 rows, and most docs are small.
+                    spans = np.unique(mat[:, [0, -1]], axis=0)
+                    out.extend((d, int(s), int(e)) for s, e in spans)
+                else:
+                    uniq = {(int(r[0]), int(r[-1])) for r in mat}
+                    out.extend((d, s, e) for s, e in sorted(uniq))
         return out
 
     def _chain_doc(self, d: int, steps, slots, dls):
@@ -843,6 +883,8 @@ class IndexSearcher:
         position of EVERY slot, not just the span ends). Accepts a
         pattern string or pre-parsed items (for head-substituted
         patterns)."""
+        import numpy as np
+
         from ..plans.cql import (
             _steps,
             has_repetitions,
@@ -883,8 +925,14 @@ class IndexSearcher:
             if mat is not None and within_sentence:
                 mat = self._sent_filter(mat, sent_fw.get(d, []))
             if mat is not None and mat.shape[0]:
-                rows = {tuple(int(x) for x in r) for r in mat}
-                out.extend((d, r) for r in sorted(rows))
+                if mat.shape[0] > 64:
+                    # vectorized dedup+sort (lexicographic np.unique);
+                    # the python set pass dominated hot fan-outs
+                    for r in np.unique(mat, axis=0):
+                        out.append((d, tuple(int(x) for x in r)))
+                else:
+                    rows = {tuple(int(x) for x in r) for r in mat}
+                    out.extend((d, r) for r in sorted(rows))
         return out
 
     def relation_matches(self, query, max_terms_per_slot: int = 256
