@@ -303,7 +303,11 @@ def build_index(
     block_size: int = BLOCK_SIZE,
     k1: float = K1,
     b: float = B,
-    use_pandas_udf: bool = True,
+    # JVM tokenizer by default (identical rule, pinned by tests): the
+    # Arrow tokenizer pays the Python boundary for no gain on the
+    # plain split rule — measured 2× slower on the tokens stage; a
+    # linguistic tokenizer deployment passes True to slot its UDF in
+    use_pandas_udf: bool = False,
     store_docstore: bool = True,
     input_paths: list[str] | None = None,
     pre_tokenized: DataFrame | None = None,

@@ -34,12 +34,15 @@ numpy run-length pass. This replaces an earlier two-shuffle design
 array-typed rows): shuffling flat int columns halves shuffle volume and
 avoids JVM array materialization entirely.
 
-Under a Zipf vocabulary almost every term fits one block (df ≤ 128), so
-the hot path is :func:`_emit_single_block_runs`: ONE VByte encode over
-the whole batch per stream, sliced into per-term spans via vectorized
-byte-length prefix sums — no per-term Python. Hot multi-block terms
-(few) take the per-term loop. A carry buffer holds the term spanning an
-Arrow-batch boundary, so memory stays O(batch).
+Every term — single-block tail and hot multi-block heads alike — is
+encoded by ONE VByte pass over the whole batch per stream, sliced into
+per-block spans via vectorized byte-length prefix sums
+(:func:`_emit_blocks` splits term runs into block-sized sub-runs with
+pure index arithmetic first): no per-term or per-posting Python
+anywhere. Under Zipf the hot terms carry most of the token volume, so
+the former per-term loop over their posting lists dominated the whole
+build kernel. A carry buffer holds the term spanning an Arrow-batch
+boundary, so memory stays O(batch).
 """
 
 from __future__ import annotations
@@ -50,12 +53,7 @@ import numpy as np
 import pandas as pd
 from pyspark import TaskContext
 
-from ..functions.codec import (
-    delta_encode,
-    encode_positions,
-    vbyte_encode,
-    vbyte_lengths,
-)
+from ..functions.codec import vbyte_encode, vbyte_lengths
 
 BLOCK_SIZE = 128
 
@@ -92,29 +90,36 @@ def _aggregate_postings(terms: np.ndarray, docs: np.ndarray, poss: np.ndarray,
     return terms[starts], docs[starts], (ends - starts), dls[starts], starts
 
 
-def _emit_term_blocks(
-    term: str, docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-    pos_flat: np.ndarray, pos_starts: np.ndarray, part_id: int,
+def _emit_blocks(
+    p_terms: np.ndarray, p_docs: np.ndarray, p_tfs: np.ndarray,
+    p_dls: np.ndarray, poss: np.ndarray,
+    run_starts: np.ndarray, run_ends: np.ndarray, part_id: int,
     block_size: int,
-) -> list[tuple]:
-    """Per-term path (multi-block / carried terms)."""
-    rows = []
-    n = docs.size
-    for block_id, lo in enumerate(range(0, n, block_size)):
-        hi = min(lo + block_size, n)
-        d, t, dl = docs[lo:hi], tfs[lo:hi], dls[lo:hi]
-        first_doc, last_doc = int(d[0]), int(d[-1])
-        poslists = [pos_flat[pos_starts[i]: pos_starts[i] + tfs[i]]
-                    for i in range(lo, hi)]
-        rows.append((
-            term, part_id, block_id, hi - lo, first_doc, last_doc,
-            int(t.max()), int(t.sum()), int(dl.min()),
-            vbyte_encode(delta_encode(d, first_delta_from=first_doc)),
-            vbyte_encode(t.astype(np.uint64)),
-            vbyte_encode(dl.astype(np.uint64)),
-            encode_positions(poslists),
-        ))
-    return rows
+) -> pd.DataFrame:
+    """EVERY term's blocks in one vectorized pass: term runs split into
+    block-sized sub-runs by pure index arithmetic, then the interleaved
+    single-encode path (:func:`_emit_single_block_runs`) serves hot
+    multi-block terms and the single-block tail alike. Under Zipf the
+    hot terms carry most of the token volume — the old per-term python
+    loop over their posting lists dominated the whole build kernel.
+
+    Postings must be CONTIGUOUS (run_ends[i] == run_starts[i+1],
+    covering [0, len)); ``poss`` is the flat position stream in
+    posting order."""
+    if run_starts.size == 0:
+        return pd.DataFrame(columns=SEGMENT_COLUMNS)
+    run_lens = run_ends - run_starts
+    counts = -(-run_lens // block_size)  # ceil-div: blocks per term
+    total = int(counts.sum())
+    rep_starts = np.repeat(run_starts, counts)
+    within = (np.arange(total)
+              - np.repeat(np.cumsum(counts) - counts, counts))
+    blk_starts = rep_starts + within * block_size
+    blk_ends = np.minimum(blk_starts + block_size,
+                          np.repeat(run_ends, counts))
+    return _emit_single_block_runs(
+        p_terms, p_docs, p_tfs, p_dls, poss, blk_starts, blk_ends,
+        part_id, block_ids=within.astype(np.int32))
 
 
 def _sliced_stream(values: np.ndarray, group_starts: np.ndarray) -> list[bytes]:
@@ -131,11 +136,14 @@ def _emit_single_block_runs(
     p_terms: np.ndarray, p_docs: np.ndarray, p_tfs: np.ndarray,
     p_dls: np.ndarray, pos_sel: np.ndarray,
     run_starts: np.ndarray, run_ends: np.ndarray, part_id: int,
+    block_ids: np.ndarray | None = None,
 ) -> pd.DataFrame:
-    """Vectorized encoder for term runs that fit one block (df ≤ 128).
+    """Vectorized encoder for posting runs that each fit one block
+    (``run_ends - run_starts ≤ block_size`` — a whole df ≤ 128 term, or
+    one block-slice of a hot term with its ``block_ids`` entry).
 
-    Posting-level arrays are the *selected* postings (contiguous runs);
-    ``pos_sel`` is their concatenated flat position stream.
+    Posting-level arrays cover the runs contiguously; ``pos_sel`` is
+    their concatenated flat position stream.
     """
     n_runs = run_starts.size
     if n_runs == 0:
@@ -172,7 +180,8 @@ def _emit_single_block_runs(
     return pd.DataFrame({
         "term": p_terms[run_starts],
         "seg_part": np.full(n_runs, part_id, dtype=np.int32),
-        "block_id": np.zeros(n_runs, dtype=np.int32),
+        "block_id": (np.zeros(n_runs, dtype=np.int32)
+                     if block_ids is None else block_ids),
         "n": run_lens.astype(np.int32),
         "first_doc": first_docs.astype(np.int64),
         "last_doc": last_docs.astype(np.int64),
@@ -201,20 +210,22 @@ def make_segment_writer(block_size: int = BLOCK_SIZE):
         carry_term: str | None = None
         carry: list[tuple] = []  # (docs, poss, dls)
 
-        def flush_carry() -> list[tuple]:
+        def flush_carry() -> pd.DataFrame:
             nonlocal carry_term, carry
             if carry_term is None:
-                return []
+                return pd.DataFrame(columns=SEGMENT_COLUMNS)
             docs = np.concatenate([c[0] for c in carry])
             poss = np.concatenate([c[1] for c in carry])
             dls = np.concatenate([c[2] for c in carry])
             terms = np.full(docs.size, carry_term, dtype=object)
-            _t, p_docs, p_tfs, p_dls, p_starts = \
+            p_t, p_docs, p_tfs, p_dls, _ = \
                 _aggregate_postings(terms, docs, poss, dls)
-            rows = _emit_term_blocks(carry_term, p_docs, p_tfs, p_dls,
-                                     poss, p_starts, part_id, block_size)
+            out = _emit_blocks(
+                p_t, p_docs, p_tfs, p_dls, poss,
+                np.array([0], np.int64),
+                np.array([p_docs.size], np.int64), part_id, block_size)
             carry_term, carry = None, []
-            return rows
+            return out
 
         for pdf in batches:
             if pdf.empty:
@@ -228,7 +239,7 @@ def make_segment_writer(block_size: int = BLOCK_SIZE):
             starts = np.concatenate([[0], change]).astype(np.int64)
             ends = np.concatenate([change, [terms.size]]).astype(np.int64)
 
-            loop_rows: list[tuple] = []
+            frames: list[pd.DataFrame] = []
             if carry_term is not None:
                 if terms[0] == carry_term:
                     e0 = int(ends[0])
@@ -239,7 +250,7 @@ def make_segment_writer(block_size: int = BLOCK_SIZE):
                     terms, docs = terms[e0:], docs[e0:]
                     poss, dls = poss[e0:], dls[e0:]
                     starts, ends = starts[1:] - e0, ends[1:] - e0
-                loop_rows += flush_carry()
+                frames.append(flush_carry())
             # last term run carries to the next batch
             s_last, e_last = int(starts[-1]), int(ends[-1])
             carry_term = terms[s_last]
@@ -248,53 +259,26 @@ def make_segment_writer(block_size: int = BLOCK_SIZE):
             terms, docs = terms[:s_last], docs[:s_last]
             poss, dls = poss[:s_last], dls[:s_last]
             starts, ends = starts[:-1], ends[:-1]
-            if starts.size == 0:
-                if loop_rows:
-                    yield pd.DataFrame(loop_rows, columns=SEGMENT_COLUMNS)
-                continue
-
-            # aggregate remaining token rows → postings (vectorized)
-            p_terms, p_docs, p_tfs, p_dls, p_starts = \
-                _aggregate_postings(terms, docs, poss, dls)
-            # term-run boundaries over POSTINGS
-            p_change = np.flatnonzero(p_terms[1:] != p_terms[:-1]) + 1
-            p_run_starts = np.concatenate([[0], p_change]).astype(np.int64)
-            p_run_ends = np.concatenate(
-                [p_change, [p_terms.size]]).astype(np.int64)
-
-            run_lens = p_run_ends - p_run_starts
-            single = run_lens <= block_size
-            if single.any():
-                s_s, s_e = p_run_starts[single], p_run_ends[single]
-                sel = np.concatenate(
-                    [np.arange(a, e) for a, e in zip(s_s, s_e)])
-                # flat positions of the selected postings
-                tok_idx = (np.arange(int(p_tfs[sel].sum()))
-                           + np.repeat(
-                               p_starts[sel]
-                               - np.concatenate([[0], np.cumsum(p_tfs[sel])[:-1]]),
-                               p_tfs[sel]))
-                pos_sel = poss[tok_idx]
-                new_starts = np.concatenate(
-                    [[0], np.cumsum(s_e - s_s)[:-1]]).astype(np.int64)
-                new_ends = np.cumsum(s_e - s_s).astype(np.int64)
-                vec_df = _emit_single_block_runs(
-                    p_terms[sel], p_docs[sel], p_tfs[sel], p_dls[sel],
-                    pos_sel, new_starts, new_ends, part_id)
-            else:
-                vec_df = pd.DataFrame(columns=SEGMENT_COLUMNS)
-            for a, e in zip(p_run_starts[~single], p_run_ends[~single]):
-                loop_rows += _emit_term_blocks(
-                    p_terms[a], p_docs[a:e], p_tfs[a:e], p_dls[a:e],
-                    poss, p_starts[a:e], part_id, block_size)
-            frames = [f for f in
-                      (vec_df, pd.DataFrame(loop_rows, columns=SEGMENT_COLUMNS))
-                      if len(f)]
+            if starts.size:
+                # aggregate remaining token rows → postings, then emit
+                # every term's blocks in ONE vectorized pass
+                p_terms, p_docs, p_tfs, p_dls, _p_starts = \
+                    _aggregate_postings(terms, docs, poss, dls)
+                p_change = np.flatnonzero(
+                    p_terms[1:] != p_terms[:-1]) + 1
+                p_run_starts = np.concatenate(
+                    [[0], p_change]).astype(np.int64)
+                p_run_ends = np.concatenate(
+                    [p_change, [p_terms.size]]).astype(np.int64)
+                frames.append(_emit_blocks(
+                    p_terms, p_docs, p_tfs, p_dls, poss,
+                    p_run_starts, p_run_ends, part_id, block_size))
+            frames = [f for f in frames if len(f)]
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-        rows = flush_carry()
-        if rows:
-            yield pd.DataFrame(rows, columns=SEGMENT_COLUMNS)
+        out = flush_carry()
+        if len(out):
+            yield out
 
     return write_segments
