@@ -1138,30 +1138,14 @@ def _scoped(fn: Callable[[SparkSession, str], DataFrame]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER: rotated tail-first in r6 — the driver's correctness gate
-    # caps at the first 50 entries, and these 18 sat beyond it every
-    # round (cql_feats / cql_containing / cql_not_containing_index /
-    # near_dup_clusters / media_meta had never had a driver-green row).
-    # Every query keeps its name and oracle; only dict order changed.
+    # ORDER (r6): the 18 queries that sat beyond the driver gate's
+    # 50-entry cap every round (cql_feats / cql_containing /
+    # cql_not_containing_index / near_dup_clusters / media_meta had
+    # never had a driver-green row) now sit at positions 33-50, inside
+    # the cap; the original first 32 stay first so the session's
+    # JIT/codegen warm-up lands on the same queries as every prior
+    # round's numbers. Names, implementations, oracles unchanged.
     return {name: _scoped(fn) for name, fn in {
-        "cql_feats": q_cql_feats,
-        "cql_containing": q_cql_containing,
-        "cql_not_containing_index": q_cql_not_containing_index,
-        "cql_collocates": q_cql_collocates,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "token_counts": q_token_counts,
-        "quality": q_quality,
-        "lang_id": q_lang_id,
-        "fingerprints": q_fingerprints,
-        "cosine_topk": q_cosine_topk,
-        "cosine_near_dups": q_cosine_near_dups,
-        "ivf_cosine_topk": q_ivf_cosine_topk,
-        "minhash_near_dups": q_minhash_near_dups,
-        "near_dup_clusters": q_near_dup_clusters,
-        "simhash_near_dups": q_simhash_near_dups,
-        "lsh_cosine_topk": q_lsh_cosine_topk,
-        "media_meta": q_media_meta,
         "bm25_topk": q_bm25_topk,
         "bm25_index_topk": q_bm25_index_topk,
         "bm25_filtered": q_bm25_filtered,
@@ -1194,6 +1178,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_stats": q_profile_stats,
         "core_collocates": q_core_collocates,
         "relation_totals": q_relation_totals,
+        "cql_feats": q_cql_feats,
+        "cql_containing": q_cql_containing,
+        "cql_not_containing_index": q_cql_not_containing_index,
+        "cql_collocates": q_cql_collocates,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "token_counts": q_token_counts,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "cosine_topk": q_cosine_topk,
+        "cosine_near_dups": q_cosine_near_dups,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
+        "minhash_near_dups": q_minhash_near_dups,
+        "near_dup_clusters": q_near_dup_clusters,
+        "simhash_near_dups": q_simhash_near_dups,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "media_meta": q_media_meta,
         "boilerplate_filter": q_boilerplate_filter,
         "topk_events_per_user": q_topk_events_per_user,
         "concordance": q_concordance,
