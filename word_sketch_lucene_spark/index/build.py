@@ -53,6 +53,44 @@ from .segments import BLOCK_SIZE, SEGMENT_SCHEMA, TOKEN_INPUT_COLUMNS, make_segm
 STATS_FILE = "stats.json"
 
 
+def _cluster_width(spark: SparkSession) -> int:
+    """Actual execution width (concurrent task slots). ``local[N]``
+    parses from the master URL — ``spark.default.parallelism`` is set
+    to the SHUFFLE width by :func:`..session.get_spark`, so it cannot
+    distinguish cores from partitioning policy."""
+    import re as _re
+
+    m = spark.sparkContext.master or ""
+    mt = _re.match(r"local\[(\d+|\*)\]", m)
+    if mt:
+        return (os.cpu_count() or 1) if mt.group(1) == "*" \
+            else int(mt.group(1))
+    return spark.sparkContext.defaultParallelism
+
+
+def _adaptive_parts(spark: SparkSession, requested: int,
+                    data_dir: str | Path, scale: float = 1.0,
+                    target_bytes: int = 32 << 20) -> int:
+    """Effective partition count for the salted segment shuffle:
+    ``min(requested, max(cluster_width, input_bytes/target))``.
+
+    The requested count stays the CAP (cluster-width policy); deriving
+    the effective count from the input's on-disk size stops a small
+    input from paying requested-width fixed task costs — the codec
+    stage's per-task overhead (~50 ms of Arrow/pandas setup) made a
+    64-partition tiny build cost seconds of pure scheduling (guide §2:
+    scale-adaptive partitioning, not a constant tuned to one mode).
+    Deterministic per (input, config): resume decisions are unaffected.
+    """
+    try:
+        nbytes = sum(f.stat().st_size
+                     for f in Path(data_dir).rglob("*.parquet"))
+    except OSError:
+        return requested
+    want = int(nbytes * scale) // target_bytes
+    return max(1, min(requested, max(_cluster_width(spark), want)))
+
+
 def build_postings(tokens: DataFrame) -> DataFrame:
     """Exploded tokens → ``(term, doc_id, tf, positions)`` (logical view).
 
@@ -148,10 +186,15 @@ def build_layer_postings(
                     "doc_id", "pos", "dl")
         )
         writer = make_segment_writer(block_size=block_size)
+        # size the shuffle from the surface tokens stage when present
+        # (the melt multiplies rows by |layers|)
+        lay_parts = (_adaptive_parts(spark, nparts, paths.tokens,
+                                     scale=float(len(layers)))
+                     if paths.tokens.exists() else nparts)
         (
             melted
             .withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(doc_salt)))
-            .repartition(nparts, F.col("term"), F.col("salt"))
+            .repartition(lay_parts, F.col("term"), F.col("salt"))
             .sortWithinPartitions("term", "doc_id", "pos")
             .select(*TOKEN_INPUT_COLUMNS)
             .mapInPandas(writer, schema=SEGMENT_SCHEMA)
@@ -361,10 +404,11 @@ def build_index(
         if st_seg.is_complete(inputs_fp, cfg_fp):
             return
         writer = make_segment_writer(block_size=block_size)
+        seg_parts = _adaptive_parts(spark, nparts, paths.tokens)
         (
             tokens
             .withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(doc_salt)))
-            .repartition(nparts, F.col("term"), F.col("salt"))
+            .repartition(seg_parts, F.col("term"), F.col("salt"))
             .sortWithinPartitions("term", "doc_id", "pos")
             .select(*TOKEN_INPUT_COLUMNS)
             .mapInPandas(writer, schema=SEGMENT_SCHEMA)
