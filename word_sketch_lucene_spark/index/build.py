@@ -70,7 +70,7 @@ def _cluster_width(spark: SparkSession) -> int:
 
 def _adaptive_parts(spark: SparkSession, requested: int,
                     data_dir: str | Path, scale: float = 1.0,
-                    target_bytes: int = 32 << 20) -> int:
+                    target_bytes: int = 16 << 20) -> int:
     """Effective partition count for the salted segment shuffle:
     ``min(requested, max(cluster_width, input_bytes/target))``.
 
@@ -444,22 +444,25 @@ def build_index(
         st_stats = StageManifest(paths.doc_lens, "doc_lens")
         if st_stats.is_complete(inputs_fp, cfg_fp):
             return
+        from pyspark.sql import Observation
+
         # dl is a per-row column of the tokens stage, so doc_lens is a
         # pushed-down FILTER (pos == 0 → one row per non-empty doc) —
         # no shuffle, no aggregation. Coalesced: the output is 2 ints
         # per doc; committing nparts near-empty files is pure driver
-        # fixed cost.
+        # fixed cost. The corpus stats ride the SAME write job as
+        # observed metrics — the former read-back aggregate was one
+        # whole extra job of per-build fixed cost.
+        obs = Observation("corpus_stats")
         (
             tokens.filter(F.col("pos") == 0).select("doc_id", "dl")
+            .observe(obs, F.count(F.lit(1)).alias("n_docs"),
+                     F.avg("dl").alias("avgdl"),
+                     F.sum("dl").alias("total_tokens"))
             .coalesce(max(1, min(nparts, 8)))
             .write.mode("overwrite").parquet(str(paths.doc_lens))
         )
-        dl = spark.read.parquet(str(paths.doc_lens))
-        row = dl.agg(
-            F.count("*").alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
-            F.sum("dl").alias("total_tokens"),
-        ).collect()[0]
+        row = obs.get
         s = {
             "n_docs": int(row["n_docs"]),
             "avgdl": float(row["avgdl"]),
@@ -491,36 +494,30 @@ def build_index(
         st_ts.commit(inputs_fp, cfg_fp,
                      lineage={"derived_from": str(paths.segments)})
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = [pool.submit(_stage_segments_then_term_stats),
-                pool.submit(_stage_doc_lens)]
-        for f in futs:
-            f.result()
-    stats = json.loads(paths.stats.read_text())
-
     # ---- stage: docstore (forward index) ------------------------------
-    if store_docstore:
+    def _stage_docstore() -> None:
         st_ds = StageManifest(paths.docstore, "docstore")
-        if not st_ds.is_complete(inputs_fp, cfg_fp):
-            if pre_tokenized is not None or pages is None:
-                # reassemble the forward index from the token stream
-                # (pos-ordered collect per doc — one co-keyed shuffle)
-                ds = tokens.groupBy("doc_id").agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(
-                            F.struct("pos", "term"))),
-                        lambda s: s["term"]).alias("tokens"))
-                ds = ds.select("doc_id",
-                               F.concat_ws(" ", "tokens").alias("text"),
-                               "tokens")
-            else:
-                ds = pages.select(
-                    F.col(doc_id_col).alias("doc_id"),
-                    F.col(text_col).alias("text"),
-                    tokens_expr(text_col).alias("tokens"),
-                )
-            ds.write.mode("overwrite").parquet(str(paths.docstore))
-            st_ds.commit(inputs_fp, cfg_fp, lineage={"inputs": input_paths or []})
+        if st_ds.is_complete(inputs_fp, cfg_fp):
+            return
+        if pre_tokenized is not None or pages is None:
+            # reassemble the forward index from the token stream
+            # (pos-ordered collect per doc — one co-keyed shuffle)
+            ds = tokens.groupBy("doc_id").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("pos", "term"))),
+                    lambda s: s["term"]).alias("tokens"))
+            ds = ds.select("doc_id",
+                           F.concat_ws(" ", "tokens").alias("text"),
+                           "tokens")
+        else:
+            ds = pages.select(
+                F.col(doc_id_col).alias("doc_id"),
+                F.col(text_col).alias("text"),
+                tokens_expr(text_col).alias("tokens"),
+            )
+        ds.write.mode("overwrite").parquet(str(paths.docstore))
+        st_ds.commit(inputs_fp, cfg_fp, lineage={"inputs": input_paths or []})
 
     # ---- stage: doc_meta (stored metadata fields) ---------------------
     # every non-id/non-text page column becomes a stored metadata field
@@ -530,14 +527,31 @@ def build_index(
     meta_cols = ([] if pages is None else
                  [c for c in pages.columns if c not in (doc_id_col,
                                                         text_col)])
-    if meta_cols:
-        st_meta = StageManifest(paths.doc_meta, "doc_meta")
-        if not st_meta.is_complete(inputs_fp, cfg_fp):
-            (pages.select(F.col(doc_id_col).cast("long").alias("doc_id"),
-                          *meta_cols)
-             .write.mode("overwrite").parquet(str(paths.doc_meta)))
-            st_meta.commit(inputs_fp, cfg_fp,
-                           lineage={"inputs": input_paths or [],
-                                    "meta_cols": meta_cols})
 
+    def _stage_doc_meta() -> None:
+        st_meta = StageManifest(paths.doc_meta, "doc_meta")
+        if st_meta.is_complete(inputs_fp, cfg_fp):
+            return
+        (pages.select(F.col(doc_id_col).cast("long").alias("doc_id"),
+                      *meta_cols)
+         .coalesce(max(1, min(nparts, 8)))
+         .write.mode("overwrite").parquet(str(paths.doc_meta)))
+        st_meta.commit(inputs_fp, cfg_fp,
+                       lineage={"inputs": input_paths or [],
+                                "meta_cols": meta_cols})
+
+    # every stage after tokens is independent of the others (segments →
+    # term_stats chains inside one slot): run them in one pool so the
+    # scheduler back-fills executor idle time (guide §2.6) — per-build
+    # fixed cost is paid once, not once per serial stage
+    jobs = [_stage_segments_then_term_stats, _stage_doc_lens]
+    if store_docstore:
+        jobs.append(_stage_docstore)
+    if meta_cols:
+        jobs.append(_stage_doc_meta)
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        futs = [pool.submit(j) for j in jobs]
+        for f in futs:
+            f.result()
+    stats = json.loads(paths.stats.read_text())
     return stats
