@@ -246,6 +246,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
 # ----------------------------------------------------- MinHash + LSH
 def _shingle_hashes_py(text: str, n: int) -> np.ndarray:
     import re
+    from hashlib import md5
 
     toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
     if len(toks) < n:
@@ -254,8 +255,8 @@ def _shingle_hashes_py(text: str, n: int) -> np.ndarray:
     # deterministic 64-bit hash of each shingle (python hash is salted —
     # use splitmix over a stable byte-fold instead)
     vals = np.fromiter(
-        (int.from_bytes(__import__("hashlib").md5(g.encode()).digest()[:8],
-                        "little") for g in grams),
+        (int.from_bytes(md5(g.encode()).digest()[:8], "little")
+         for g in grams),
         dtype=np.uint64, count=len(grams))
     return vals
 
@@ -557,6 +558,8 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.8,
 # ------------------------------------------------------------ SimHash
 def make_simhash_udf(shingle_n: int = 2, seed: int = 11):
     """Arrow-vectorized 64-bit SimHash over word shingles."""
+    powers = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
     @F.pandas_udf(T.LongType())
     def simhash(texts: pd.Series) -> pd.Series:
         out = []
@@ -568,9 +571,8 @@ def make_simhash_udf(shingle_n: int = 2, seed: int = 11):
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                     & np.uint64(1)).astype(np.int64)
             v = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for j in np.flatnonzero(v > 0):
-                sig |= np.uint64(1) << np.uint64(j)
+            # sum of distinct powers ≡ OR of the positive-vote bits
+            sig = powers[v > 0].sum(dtype=np.uint64)
             out.append(np.int64(sig.astype(np.int64)))
         return pd.Series(out, dtype="int64")
 
